@@ -1,0 +1,260 @@
+"""Device-resident replay: time-major per-env rings + sum-tree PER.
+
+TPU-native re-design of the reference's history layer (SURVEY.md §1 L4,
+§2 "Uniform replay"/"Prioritized replay"/"Online/n-step history").
+Differences from the reference, by design:
+
+  * Storage lives ON DEVICE as fixed-shape jnp arrays `(E, T, ...)` —
+    env-major, time-minor. Envs step in lockstep, so one acting chunk
+    writes the same column range for every env; inserts are a single
+    `dynamic_update_slice` per field, no host round-trips.
+  * Raw per-step transitions are stored once; n-step returns, frame
+    stacks, and R2D2 sequences are GATHERED AT SAMPLE TIME (see
+    ops/returns.py) instead of being assembled host-side before insert.
+    The reference's separate "online n-step history" layer disappears.
+  * Priorities "activate" with a delay of `horizon` columns behind the
+    write cursor, so the sum tree only ever holds sampleable entries:
+    a leaf is live iff its full gather window [c, c+horizon] is in
+    storage. Freshly-complete entries get max-priority-on-insert
+    (arxiv 1511.05952 semantics).
+
+Invariants (tested in tests/test_replay.py):
+  * leaf(e, c) > 0 implies column c has `horizon` successors stored;
+  * insert overwrites => overwritten columns' leaves zeroed first;
+  * duplicate sampled indices get last-write-wins priority updates,
+    and updates to since-overwritten leaves are dropped.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rltime_tpu.ops import sum_tree
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    """Static replay geometry (hashable: safe as a jit static arg)."""
+    num_envs: int            # E: lockstep env lanes feeding this shard
+    steps_per_env: int       # T: ring length per env (capacity = E*T)
+    horizon: int             # gather window beyond the sampled column
+                             # (n for n-step; burn+len+n for R2D2)
+    chunk_len: int           # L: acting chunk columns per insert
+    prioritized: bool = True
+    alpha: float = 0.6       # PER exponent (priorities stored ^alpha)
+    min_priority: float = 1e-6
+
+    def __post_init__(self):
+        if self.steps_per_env % self.chunk_len != 0:
+            raise ValueError("steps_per_env must be a multiple of "
+                             "chunk_len (keeps ring inserts unsplit)")
+        if self.horizon >= self.steps_per_env:
+            raise ValueError("horizon must be < steps_per_env")
+
+    @property
+    def capacity(self) -> int:
+        return self.num_envs * self.steps_per_env
+
+
+class ReplayState(struct.PyTreeNode):
+    """Replay buffer contents (a pytree: donate into jitted steps)."""
+    storage: Dict[str, jnp.ndarray]   # each (E, T, ...)
+    t: jnp.ndarray                    # int32 — unwrapped write cursor (columns)
+    tree: jnp.ndarray                 # (2N,) sum tree ((1,) dummy if uniform)
+    max_priority: jnp.ndarray         # f32 running max (already ^alpha)
+
+
+def replay_init(cfg: ReplayConfig,
+                field_specs: Dict[str, Tuple[Tuple[int, ...], Any]]
+                ) -> ReplayState:
+    """Allocate storage. field_specs: name -> (per-step shape, dtype)."""
+    E, T = cfg.num_envs, cfg.steps_per_env
+    storage = {
+        name: jnp.zeros((E, T) + tuple(shape), dtype=dtype)
+        for name, (shape, dtype) in field_specs.items()
+    }
+    tree = (sum_tree.init(cfg.capacity) if cfg.prioritized
+            else jnp.zeros((1,), jnp.float32))
+    return ReplayState(
+        storage=storage,
+        t=jnp.zeros((), jnp.int32),
+        tree=tree,
+        max_priority=jnp.ones((), jnp.float32),
+    )
+
+
+def _flat_leaf(cfg: ReplayConfig, env: jnp.ndarray, col: jnp.ndarray):
+    """(env, ring column) -> sum-tree leaf index."""
+    return env * cfg.steps_per_env + col
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def replay_insert(cfg: ReplayConfig, state: ReplayState,
+                  chunk: Dict[str, jnp.ndarray]) -> ReplayState:
+    """Insert an acting chunk: each field shaped (E, L, ...).
+
+    Writes columns [t, t+L) (mod T) for all envs, zeroes the
+    overwritten columns' priorities, and activates columns
+    [t-horizon, t+L-horizon) at max priority (their gather windows are
+    now complete).
+    """
+    E, T, L = cfg.num_envs, cfg.steps_per_env, cfg.chunk_len
+    col = jnp.mod(state.t, T)
+
+    storage = dict(state.storage)
+    for name, arr in chunk.items():
+        dst = state.storage[name]
+        zeros_idx = (0,) * (dst.ndim - 2)
+        storage[name] = jax.lax.dynamic_update_slice(
+            dst, arr.astype(dst.dtype), (0, col) + zeros_idx)
+
+    tree = state.tree
+    if cfg.prioritized:
+        env_ids = jnp.repeat(jnp.arange(E, dtype=jnp.int32), L)
+        offs = jnp.tile(jnp.arange(L, dtype=jnp.int32), E)
+        # 1) zero the columns being overwritten (they leave storage).
+        new_cols = jnp.mod(col + offs, T)
+        dead = _flat_leaf(cfg, env_ids, new_cols)
+        tree = sum_tree.set_priorities(
+            tree, dead, jnp.zeros_like(dead, dtype=tree.dtype))
+        # 2) activate columns whose horizon just completed.
+        act_u = state.t + offs - cfg.horizon      # unwrapped times
+        act_cols = jnp.mod(act_u, T)
+        live = _flat_leaf(cfg, env_ids, act_cols)
+        prio = jnp.where(act_u >= 0, state.max_priority, 0.0)
+        # Avoid resurrecting the just-zeroed columns when horizon==0.
+        tree = sum_tree.set_priorities(tree, live, prio.astype(tree.dtype))
+
+    return ReplayState(storage=storage, t=state.t + L, tree=tree,
+                       max_priority=state.max_priority)
+
+
+def valid_range(cfg: ReplayConfig, t: jnp.ndarray):
+    """Unwrapped sampleable columns [lo, hi): full horizon stored."""
+    lo = jnp.maximum(t - cfg.steps_per_env, 0)
+    hi = jnp.maximum(t - cfg.horizon, lo)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "beta_static"))
+def replay_sample_indices(cfg: ReplayConfig, state: ReplayState, key,
+                          batch: int, beta: float = 0.4,
+                          beta_static: bool = False):
+    """Sample (env, col) pairs + normalized importance weights.
+
+    Uniform: iid over the valid unwrapped range, all weights 1.
+    PER: stratified sum-tree descend; weights (N*P)^-beta / max.
+    Returns dict(env, col, leaf, weight, num_valid).
+    """
+    del beta_static
+    E, T = cfg.num_envs, cfg.steps_per_env
+    lo, hi = valid_range(cfg, state.t)
+    num_valid = (hi - lo) * E
+
+    if not cfg.prioritized:
+        ukey, ekey = jax.random.split(key)
+        u = lo + jax.random.randint(ukey, (batch,), 0, jnp.maximum(hi - lo, 1))
+        env = jax.random.randint(ekey, (batch,), 0, E)
+        col = jnp.mod(u, T)
+        return dict(env=env, col=col.astype(jnp.int32),
+                    leaf=_flat_leaf(cfg, env, col),
+                    weight=jnp.ones((batch,), jnp.float32),
+                    num_valid=num_valid)
+
+    leaf, prio = sum_tree.sample(state.tree, key, batch)
+    env = leaf // T
+    col = leaf - env * T
+    tot = sum_tree.total(state.tree)
+    p = prio / jnp.maximum(tot, 1e-30)
+    w = (num_valid.astype(jnp.float32) * p) ** (-beta)
+    w = w / jnp.maximum(jnp.max(w), 1e-30)
+    return dict(env=env.astype(jnp.int32), col=col.astype(jnp.int32),
+                leaf=leaf, weight=w.astype(jnp.float32),
+                num_valid=num_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def replay_update_priorities(cfg: ReplayConfig, state: ReplayState,
+                             leaf: jnp.ndarray,
+                             td_abs: jnp.ndarray) -> ReplayState:
+    """Write |TD|-derived priorities back after a learner step.
+
+    p = (|td| + min_priority)^alpha. Updates to leaves that have been
+    zeroed since sampling (overwritten by inserts) are dropped so dead
+    entries cannot be resurrected.
+    """
+    if not cfg.prioritized:
+        return state
+    p = (td_abs + cfg.min_priority) ** cfg.alpha
+    cur = sum_tree.get(state.tree, leaf)
+    p = jnp.where(cur > 0, p, 0.0)
+    tree = sum_tree.set_priorities(state.tree, leaf, p)
+    max_p = jnp.maximum(state.max_priority, jnp.max(p))
+    return state.replace(tree=tree, max_priority=max_p)
+
+
+def replay_gather_window(cfg: ReplayConfig, state: ReplayState,
+                         env: jnp.ndarray, col: jnp.ndarray,
+                         length: int, fields=None) -> Dict[str, jnp.ndarray]:
+    """Gather [col, col+length) (mod T) per sampled (env, col).
+
+    Returns each requested field shaped (B, length, ...). `length` must
+    be <= horizon+1 for sampled indices to be fully valid.
+    """
+    T = cfg.steps_per_env
+    offs = jnp.arange(length, dtype=jnp.int32)
+    cols = jnp.mod(col[:, None] + offs[None, :], T)      # (B, length)
+    names = fields if fields is not None else list(state.storage)
+    return {
+        name: state.storage[name][env[:, None], cols]
+        for name in names
+    }
+
+
+def replay_gather_at(cfg: ReplayConfig, state: ReplayState,
+                     env: jnp.ndarray, col: jnp.ndarray,
+                     fields=None) -> Dict[str, jnp.ndarray]:
+    """Gather single columns per sample: field -> (B, ...)."""
+    T = cfg.steps_per_env
+    cols = jnp.mod(col, T)
+    names = fields if fields is not None else list(state.storage)
+    return {name: state.storage[name][env, cols] for name in names}
+
+
+def frame_stack_gather(cfg: ReplayConfig, state: ReplayState,
+                       env: jnp.ndarray, col: jnp.ndarray,
+                       num_frames: int, obs_field: str = "obs",
+                       done_field: str = "done") -> jnp.ndarray:
+    """Reconstruct stacked observations (B, num_frames, ...) on device.
+
+    Frames are stored singly (4x memory saving vs storing stacks — the
+    lazy-frames idea executed as a device gather). Frames belonging to a
+    previous episode (a `done` at column c-j, j>=1, resets the stack)
+    are zeroed — matching the actor-side stacker in acting/actor.py.
+    Stack order: index 0 is the OLDEST frame.
+    """
+    T = cfg.steps_per_env
+    offs = jnp.arange(num_frames - 1, -1, -1, dtype=jnp.int32)  # old..new
+    cols = jnp.mod(col[:, None] - offs[None, :], T)
+    frames = state.storage[obs_field][env[:, None], cols]
+    if num_frames == 1:
+        return frames
+    # done[c-j] for j in [1, num_frames): boundary between c-j and c-j+1.
+    dcols = jnp.mod(col[:, None] - jnp.arange(1, num_frames)[None, ::-1], T)
+    dones = state.storage[done_field][env[:, None], dcols]  # (B, F-1) old..new
+    # frame slot i (i < F-1) is valid iff no done in (c-(F-1-i), c].
+    # valid[i] = prod_{j=i..F-2} (1 - done_at_slot_j)
+    dnf = dones.astype(frames.dtype)
+    rev_cum = jnp.cumprod((1.0 - dnf)[:, ::-1], axis=1)[:, ::-1]
+    valid = jnp.concatenate(
+        [rev_cum, jnp.ones_like(rev_cum[:, :1])], axis=1)  # (B, F)
+    # Cross-episode frames may also be older than the episode start when
+    # col is near the episode beginning; the same mask covers that case
+    # because the reset `done` sits inside the window.
+    shape = (valid.shape[0], valid.shape[1]) + (1,) * (frames.ndim - 2)
+    return frames * valid.reshape(shape).astype(frames.dtype)

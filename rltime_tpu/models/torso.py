@@ -1,0 +1,58 @@
+"""Embedding torsos: MLP and Nature-CNN (SURVEY.md §2 "Models").
+
+TPU notes: conv/dense compute optionally runs in bfloat16 (params stay
+f32; outputs are cast back) — MXU-friendly without touching the
+exact-numerics CPU test path, which uses compute_dtype=float32.
+Channel widths stay at the reference capacities (Nature CNN 32/64/64 +
+FC-512) so learning-curve parity is apples-to-apples.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLPTorso(nn.Module):
+    hidden: Sequence[int] = (64, 64)
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.compute_dtype)
+        x = x.reshape(x.shape[0], -1)
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=self.compute_dtype)(x)
+            x = nn.relu(x)
+        return x.astype(jnp.float32)
+
+
+class NatureCNNTorso(nn.Module):
+    """DeepMind Nature-DQN CNN: 8x8/4 -> 4x4/2 -> 3x3/1 -> FC 512.
+
+    Input: (B, F, H, W) stacked uint8 frames or (B, H, W, C); frames are
+    normalized to [0, 1] on device (keeps the host->device stream uint8:
+    4x less HBM traffic than shipping f32).
+    """
+    channels: Sequence[int] = (32, 64, 64)
+    fc: int = 512
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(self.compute_dtype) / 255.0
+        else:
+            x = x.astype(self.compute_dtype)
+        if x.ndim == 4:
+            # (B, F, H, W) -> NHWC with frames as channels.
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        for ch, k, s in zip(self.channels, (8, 4, 3), (4, 2, 1)):
+            x = nn.Conv(ch, (k, k), strides=(s, s), padding="VALID",
+                        dtype=self.compute_dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.fc, dtype=self.compute_dtype)(x)
+        x = nn.relu(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,99 @@
+"""Loss golden tests: double-Q, Huber, IQN quantile-Huber vs numpy
+reimplementation (SURVEY.md §4 item 1)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rltime_tpu.ops import losses
+
+
+def test_huber_regions():
+    x = jnp.array([-3.0, -0.5, 0.0, 0.5, 2.0])
+    h = losses.huber(x, kappa=1.0)
+    np.testing.assert_allclose(
+        np.asarray(h), [2.5, 0.125, 0.0, 0.125, 1.5], atol=1e-6)
+
+
+def test_double_q_target_hand_computed():
+    # online picks argmax, target evaluates (SURVEY.md §3.3).
+    q_online = jnp.array([[1.0, 5.0, 2.0]])
+    q_target = jnp.array([[10.0, 20.0, 30.0]])
+    y = losses.double_q_target(q_online, q_target,
+                               jnp.array([2.0]), jnp.array([0.9]))
+    assert float(y[0]) == pytest.approx(2.0 + 0.9 * 20.0)
+
+
+def test_double_q_target_terminal():
+    y = losses.double_q_target(
+        jnp.ones((1, 4)), jnp.ones((1, 4)) * 7.0,
+        jnp.array([3.0]), jnp.array([0.0]))
+    assert float(y[0]) == pytest.approx(3.0)
+
+
+def test_q_learning_loss_and_td():
+    q = jnp.array([[0.0, 2.0], [1.0, 3.0]])
+    actions = jnp.array([1, 0])
+    targets = jnp.array([2.5, -1.0])
+    loss, td = losses.q_learning_loss(q, actions, targets)
+    np.testing.assert_allclose(np.asarray(td), [0.5, 2.0], atol=1e-6)
+    expect = np.mean([0.5 * 0.25, 2.0 - 0.5])
+    assert float(loss) == pytest.approx(expect)
+
+
+def test_q_learning_loss_weights():
+    q = jnp.array([[1.0], [1.0]])
+    actions = jnp.array([0, 0])
+    targets = jnp.array([1.5, 1.5])
+    w = jnp.array([0.0, 2.0])
+    loss, _ = losses.q_learning_loss(q, actions, targets, weights=w)
+    assert float(loss) == pytest.approx(0.5 * 0.25 * 2.0 / 2)
+
+
+def numpy_quantile_huber(pred, taus, target, kappa=1.0):
+    B, N = pred.shape
+    Np = target.shape[1]
+    out = np.zeros(B)
+    for b in range(B):
+        acc = np.zeros(N)
+        for j in range(Np):
+            for i in range(N):
+                u = target[b, j] - pred[b, i]
+                au = abs(u)
+                h = 0.5 * min(au, kappa) ** 2 + kappa * (au - min(au, kappa))
+                rho = abs(taus[b, i] - (1.0 if u < 0 else 0.0)) * h / kappa
+                acc[i] += rho / Np
+        out[b] = acc.sum()
+    return out
+
+
+def test_quantile_huber_vs_numpy():
+    rng = np.random.default_rng(3)
+    B, N, Np = 4, 5, 7
+    pred = rng.normal(size=(B, N)).astype(np.float32)
+    taus = rng.random((B, N)).astype(np.float32)
+    target = rng.normal(size=(B, Np)).astype(np.float32)
+    loss, td = losses.quantile_huber_loss(
+        jnp.array(pred), jnp.array(taus), jnp.array(target))
+    expect = numpy_quantile_huber(pred, taus, target)
+    assert float(loss) == pytest.approx(float(expect.mean()), abs=1e-5)
+    # |td| priority signal: mean abs pairwise residual
+    u = target[:, :, None] - pred[:, None, :]
+    np.testing.assert_allclose(
+        np.asarray(td), np.abs(u).mean(axis=(1, 2)), atol=1e-5)
+
+
+def test_quantile_huber_perfect_prediction_near_zero():
+    # Identical point masses => only the tau-asymmetry term at u=0 remains 0.
+    pred = jnp.zeros((2, 4))
+    taus = jnp.full((2, 4), 0.5)
+    target = jnp.zeros((2, 4))
+    loss, td = losses.quantile_huber_loss(pred, taus, target)
+    assert float(loss) == pytest.approx(0.0, abs=1e-7)
+    assert float(td.sum()) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_sequence_priority_mix():
+    td = jnp.array([[1.0, 3.0, 2.0, 100.0]])
+    mask = jnp.array([[1.0, 1.0, 1.0, 0.0]])
+    p = losses.sequence_priority(td, mask, eta=0.75)
+    assert float(p[0]) == pytest.approx(0.75 * 3.0 + 0.25 * 2.0)
