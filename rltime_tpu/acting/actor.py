@@ -1,0 +1,215 @@
+"""Acting subsystem: jitted policy step + host rollout driver.
+
+Re-design of the reference's actor/actor-pool (SURVEY.md §1 L3, §3.2).
+The reference runs policy forward on CPU torch inside actor
+subprocesses; here the policy step is a single jitted device function
+over ALL env lanes at once:
+
+  raw obs (host, uint8/f32) --device_put--> act_step (frame-stack
+  update + LSTM step + eps-greedy, all on device) --> actions (host)
+
+Per-step host<->device traffic is one small H2D (raw obs) and one tiny
+D2H (actions). Chunks of L steps are accumulated host-side and
+inserted into the device replay with ONE transfer per field
+(SURVEY.md §3.5 "host->device stream").
+
+Recurrent bookkeeping (SURVEY.md §3.2): the device state carries the
+LSTM carry and the frame stack; `done` lanes are zero-reset INSIDE the
+jitted step. The state stored into replay for R2D2 is the post-reset
+carry used to compute that step's Q — exactly what burn-in resumes
+from.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rltime_tpu.models.policy import (
+    ModelConfig, initial_rnn_state, make_model, q_values,
+)
+
+
+class ActorDeviceState(struct.PyTreeNode):
+    """On-device acting state for E lockstep env lanes."""
+    frames: jnp.ndarray      # (E, F, ...) rolling frame stack (F>=1)
+    rnn: tuple               # LSTM carry ((c, h) or ())
+    key: jnp.ndarray         # PRNG key for exploration + IQN taus
+
+
+def init_actor_state(cfg: ModelConfig, num_envs: int, frame_stack: int,
+                     obs_shape, obs_dtype, key) -> ActorDeviceState:
+    frames = jnp.zeros((num_envs, frame_stack) + tuple(obs_shape),
+                       dtype=obs_dtype)
+    return ActorDeviceState(
+        frames=frames,
+        rnn=initial_rnn_state(cfg, num_envs),
+        key=key,
+    )
+
+
+def make_act_step(cfg: ModelConfig, frame_stack: int,
+                  flatten_stack: bool):
+    """Build the jitted act step for a model config.
+
+    flatten_stack: for vector obs with frame_stack == 1 the stack axis
+    is squeezed before the model (CartPole-style (E, D) input); image
+    obs keep (E, F, H, W) — the CNN torso consumes F as channels.
+    """
+    model = make_model(cfg)
+
+    @jax.jit
+    def act_step(params, state: ActorDeviceState, obs: jnp.ndarray,
+                 done_prev: jnp.ndarray, eps: jnp.ndarray):
+        """One lockstep policy step.
+
+        Args:
+          obs: (E, ...) raw obs AFTER the previous env step (auto-reset:
+            first obs of a new episode where done_prev).
+          done_prev: (E,) bool — previous step ended the episode.
+          eps: (E,) per-lane exploration epsilon.
+        Returns (actions (E,) int32, new_state, info dict).
+        """
+        E = obs.shape[0]
+        dp = done_prev.astype(state.frames.dtype if
+                              state.frames.dtype != jnp.uint8
+                              else jnp.uint8)
+        # Frame stack update: zero pre-reset frames, append new obs.
+        mask_shape = (E,) + (1,) * (state.frames.ndim - 1)
+        keep = (1 - done_prev.astype(jnp.int32)).reshape(mask_shape)
+        frames = state.frames * keep.astype(state.frames.dtype)
+        frames = jnp.concatenate(
+            [frames[:, 1:], obs[:, None].astype(frames.dtype)], axis=1)
+
+        # Recurrent reset on episode boundary.
+        rnn = state.rnn
+        if cfg.recurrent:
+            rmask = (1.0 - done_prev.astype(jnp.float32))[:, None]
+            rnn = jax.tree.map(lambda s: s * rmask, rnn)
+        stored_rnn = rnn  # state consumed by THIS step (R2D2 storage)
+
+        net_in = frames[:, 0] if (flatten_stack and frame_stack == 1) \
+            else frames
+        if flatten_stack and frame_stack > 1:
+            net_in = frames.reshape(E, -1)
+
+        key, tau_key, ekey, akey = jax.random.split(state.key, 4)
+        taus = None
+        if cfg.is_iqn:
+            taus = jax.random.uniform(tau_key, (E, cfg.num_tau_policy))
+        q, rnn = model.apply(params, net_in, rnn, taus)
+        qv = q_values(cfg, q)
+        greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
+        explore = jax.random.uniform(ekey, (E,)) < eps
+        random_a = jax.random.randint(akey, (E,), 0, cfg.num_actions,
+                                      dtype=jnp.int32)
+        actions = jnp.where(explore, random_a, greedy)
+        info = dict(q_mean=jnp.mean(qv), q_max=jnp.mean(jnp.max(qv, -1)))
+        new_state = ActorDeviceState(frames=frames, rnn=rnn, key=key)
+        return actions, new_state, info, stored_rnn
+
+    return act_step
+
+
+class Actor:
+    """Host-side rollout driver over one VecEnv (SURVEY.md §3.2).
+
+    Produces fixed-shape transition chunks:
+      obs (E, L, ...) raw single frames, action/reward (E, L),
+      terminated/done (E, L), and for recurrent policies the stored
+      per-step LSTM carry (E, L, H) x2.
+    Tracks per-env episode returns/lengths host-side.
+    """
+
+    def __init__(self, env, cfg: ModelConfig, frame_stack: int,
+                 exploration, key, chunk_len: int):
+        self.env = env
+        self.cfg = cfg
+        self.frame_stack = frame_stack
+        self.exploration = exploration
+        self.chunk_len = chunk_len
+        flatten = len(env.spec.obs_shape) == 1
+        self.flatten_stack = flatten
+        self._act_step = make_act_step(cfg, frame_stack, flatten)
+        self.state = init_actor_state(
+            cfg, env.num_envs, frame_stack, env.spec.obs_shape,
+            jnp.uint8 if env.spec.obs_dtype == np.uint8 else jnp.float32,
+            key)
+        self.obs = env.reset()
+        self.done_prev = np.ones((env.num_envs,), bool)  # stack starts empty
+        self.env_steps = 0
+        # episode bookkeeping
+        self._ep_ret = np.zeros((env.num_envs,), np.float64)
+        self._ep_len = np.zeros((env.num_envs,), np.int64)
+        self.completed_returns: list = []
+        self.completed_lengths: list = []
+
+    def set_params(self, params):
+        """Weight publication point (SURVEY.md §3.1 'publish weights')."""
+        self.params = params
+
+    def rollout(self, params, num_steps: Optional[int] = None):
+        """Collect a chunk of num_steps lockstep transitions.
+
+        Returns (chunk dict of numpy/device arrays each (E, L, ...),
+        info dict). The LSTM fields stay on device.
+        """
+        L = num_steps or self.chunk_len
+        E = self.env.num_envs
+        spec = self.env.spec
+        obs_buf = np.empty((E, L) + spec.obs_shape, spec.obs_dtype)
+        act_buf = np.empty((E, L), np.int32)
+        rew_buf = np.empty((E, L), np.float32)
+        term_buf = np.empty((E, L), bool)
+        done_buf = np.empty((E, L), bool)
+        rnn_steps = []
+        q_mean = 0.0
+
+        for t in range(L):
+            eps = self.exploration.epsilons(E, self.env_steps)
+            actions, self.state, info, stored_rnn = self._act_step(
+                params, self.state, self.obs, self.done_prev,
+                jnp.asarray(eps))
+            if self.cfg.recurrent:
+                rnn_steps.append(stored_rnn)
+            actions_np = np.asarray(actions)
+            obs_buf[:, t] = self.obs
+            act_buf[:, t] = actions_np
+            next_obs, rew, term, trunc = self.env.step(actions_np)
+            done = term | trunc
+            rew_buf[:, t] = rew
+            term_buf[:, t] = term
+            done_buf[:, t] = done
+            # episode bookkeeping
+            self._ep_ret += rew
+            self._ep_len += 1
+            for i in np.nonzero(done)[0]:
+                self.completed_returns.append(float(self._ep_ret[i]))
+                self.completed_lengths.append(int(self._ep_len[i]))
+            self._ep_ret[done] = 0.0
+            self._ep_len[done] = 0
+            self.obs = next_obs
+            self.done_prev = done
+            self.env_steps += E
+            q_mean = info["q_mean"]
+
+        chunk = dict(obs=obs_buf, action=act_buf, reward=rew_buf,
+                     terminated=term_buf, done=done_buf)
+        if self.cfg.recurrent:
+            # (L, (c,h) of (E,H)) -> two (E, L, H) device arrays.
+            c = jnp.stack([s[0] for s in rnn_steps], axis=1)
+            h = jnp.stack([s[1] for s in rnn_steps], axis=1)
+            chunk["rnn_c"] = c
+            chunk["rnn_h"] = h
+        info = dict(env_steps=self.env_steps, q_mean=float(q_mean))
+        return chunk, info
+
+    def episode_stats(self, clear: bool = True):
+        rets, lens = self.completed_returns, self.completed_lengths
+        if clear:
+            self.completed_returns, self.completed_lengths = [], []
+        return rets, lens

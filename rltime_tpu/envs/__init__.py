@@ -1,0 +1,5 @@
+from rltime_tpu.envs.base import VecEnv, EnvSpec  # noqa: F401
+from rltime_tpu.envs.cartpole import CartPoleVecEnv  # noqa: F401
+from rltime_tpu.envs.fake import CountingVecEnv  # noqa: F401
+from rltime_tpu.envs import gym_vec  # noqa: F401  (registers gym envs)
+from rltime_tpu.envs import atari  # noqa: F401  (registers if ale_py present)

@@ -1,0 +1,81 @@
+"""Eval CLI (SURVEY.md §3.4): load a result dir's checkpoint, run the
+greedy policy (eps ~= 0.001), report mean/median episode scores.
+
+    python -m rltime_tpu.eval <result_dir> [--episodes N] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
+             seed: int = 1234, max_steps: int = 200_000):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rltime_tpu.config.config import build
+    from rltime_tpu.acting.actor import Actor
+    from rltime_tpu.training import checkpoint as ckpt_lib
+    from rltime_tpu.training.trainer import _mk_model_cfg
+
+    with open(os.path.join(result_dir, "config.json")) as f:
+        cfg = json.load(f)
+
+    env_cfg = dict(cfg["env"])
+    env_cfg["num_envs"] = min(int(env_cfg.get("num_envs", 1)), episodes)
+    env = build(env_cfg, seed=seed)
+    model_cfg = _mk_model_cfg(cfg.get("model", {}), env.spec.num_actions)
+
+    class _FixedEps:
+        def __init__(self, e):
+            self.e = e
+
+        def epsilons(self, n, step):
+            return np.full((n,), self.e, np.float32)
+
+    actor = Actor(env, model_cfg, int(cfg.get("frame_stack", 1)),
+                  _FixedEps(eps), jax.random.key(seed), chunk_len=64)
+
+    restored = ckpt_lib.restore(result_dir)
+    params = restored["train_state"]["params"]
+    # orbax returns plain dicts; flax accepts dict params directly.
+
+    steps = 0
+    while (len(actor.completed_returns) < episodes
+           and steps < max_steps):
+        actor.rollout(params, num_steps=64)
+        steps += 64 * env.num_envs
+    rets, lens = actor.episode_stats()
+    rets = rets[:episodes]
+    report = dict(
+        episodes=len(rets),
+        return_mean=float(np.mean(rets)) if rets else float("nan"),
+        return_median=float(np.median(rets)) if rets else float("nan"),
+        return_min=float(np.min(rets)) if rets else float("nan"),
+        return_max=float(np.max(rets)) if rets else float("nan"),
+        checkpoint_step=restored["step"],
+    )
+    return report
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("result_dir")
+    parser.add_argument("--episodes", type=int, default=10)
+    parser.add_argument("--eps", type=float, default=1e-3)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    report = evaluate(args.result_dir, args.episodes, args.eps)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

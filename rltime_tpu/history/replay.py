@@ -45,6 +45,9 @@ class ReplayConfig:
     horizon: int             # gather window beyond the sampled column
                              # (n for n-step; burn+len+n for R2D2)
     chunk_len: int           # L: acting chunk columns per insert
+    lookback: int = 0        # backward gather reach (frame_stack - 1):
+                             # a sampled column must keep its stack
+                             # frames un-overwritten
     prioritized: bool = True
     alpha: float = 0.6       # PER exponent (priorities stored ^alpha)
     min_priority: float = 1e-6
@@ -53,8 +56,12 @@ class ReplayConfig:
         if self.steps_per_env % self.chunk_len != 0:
             raise ValueError("steps_per_env must be a multiple of "
                              "chunk_len (keeps ring inserts unsplit)")
-        if self.horizon >= self.steps_per_env:
-            raise ValueError("horizon must be < steps_per_env")
+        if self.steps_per_env < 2 * (self.chunk_len + self.horizon
+                                     + self.lookback):
+            raise ValueError(
+                "steps_per_env too small: need >= 2*(chunk_len + "
+                "horizon + lookback) so live/dead leaf windows "
+                "cannot collide")
 
     @property
     def capacity(self) -> int:
@@ -117,11 +124,18 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
     if cfg.prioritized:
         env_ids = jnp.repeat(jnp.arange(E, dtype=jnp.int32), L)
         offs = jnp.tile(jnp.arange(L, dtype=jnp.int32), E)
-        # 1) zero the columns being overwritten (they leave storage).
+        # 1) zero the columns being overwritten, plus the columns
+        #    `lookback` ahead whose backward stack-frames the new data
+        #    just clobbered.
         new_cols = jnp.mod(col + offs, T)
         dead = _flat_leaf(cfg, env_ids, new_cols)
         tree = sum_tree.set_priorities(
             tree, dead, jnp.zeros_like(dead, dtype=tree.dtype))
+        if cfg.lookback > 0:
+            lb_cols = jnp.mod(col + offs + cfg.lookback, T)
+            dead2 = _flat_leaf(cfg, env_ids, lb_cols)
+            tree = sum_tree.set_priorities(
+                tree, dead2, jnp.zeros_like(dead2, dtype=tree.dtype))
         # 2) activate columns whose horizon just completed.
         act_u = state.t + offs - cfg.horizon      # unwrapped times
         act_cols = jnp.mod(act_u, T)
@@ -135,8 +149,9 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
 
 
 def valid_range(cfg: ReplayConfig, t: jnp.ndarray):
-    """Unwrapped sampleable columns [lo, hi): full horizon stored."""
-    lo = jnp.maximum(t - cfg.steps_per_env, 0)
+    """Unwrapped sampleable columns [lo, hi): full horizon stored
+    ahead AND full lookback (stack frames) still un-overwritten."""
+    lo = jnp.maximum(t - cfg.steps_per_env + cfg.lookback, 0)
     hi = jnp.maximum(t - cfg.horizon, lo)
     return lo, hi
 

@@ -1,0 +1,215 @@
+"""Learner: one jitted update step, zero host round-trips.
+
+Re-design of the reference's trainer/loss layer (SURVEY.md §1 L2,
+§3.3). The reference's per-update cycle crosses the host/device
+boundary four times (numpy batch -> cuda, loss, backward, priorities
+back to numpy). Here the ENTIRE cycle — PER sum-tree sampling, window
+gather, n-step target, forward/backward, Adam, priority write-back,
+periodic target sync — is one jitted function over device-resident
+state ([BJ] "run entirely on-device ... no host round-trips").
+
+Algorithms (SURVEY.md §0 item 4): 1-step/n-step DQN, double-Q,
+dueling (in the model head), IQN quantile regression. R2D2 sequence
+updates live in training/r2d2.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rltime_tpu.history.replay import (
+    ReplayConfig, ReplayState, frame_stack_gather, replay_gather_at,
+    replay_gather_window, replay_sample_indices, replay_update_priorities,
+)
+from rltime_tpu.models.policy import ModelConfig, make_model, q_values
+from rltime_tpu.ops import losses, returns
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgoConfig:
+    """Static training hyperparameters (hashable jit static arg)."""
+    algo: str = "dqn"              # "dqn" | "iqn"  (r2d2: training/r2d2.py)
+    batch_size: int = 32
+    gamma: float = 0.99
+    n_step: int = 1
+    double_q: bool = True
+    huber_kappa: float = 1.0
+    lr: float = 1e-4
+    adam_eps: float = 1e-8
+    grad_clip: float = 10.0
+    target_update_freq: int = 500  # in learner updates
+    # PER importance-sampling beta anneal (host passes beta per call)
+    per_beta_start: float = 0.4
+    per_beta_end: float = 1.0
+    # IQN
+    num_tau: int = 64
+    num_tau_prime: int = 64
+    # R2D2 (training/r2d2.py)
+    burn_in: int = 40
+    seq_len: int = 80
+    eta: float = 0.9            # sequence priority max/mean mix
+    value_rescale: bool = True
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    key: jnp.ndarray
+    updates: jnp.ndarray          # int32 learner update counter
+
+
+def make_optimizer(cfg: AlgoConfig):
+    tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def make_train_state(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
+                     key, example_obs) -> TrainState:
+    from rltime_tpu.models.policy import init_params
+    ikey, skey = jax.random.split(key)
+    params = init_params(model_cfg, ikey, example_obs)
+    tx = make_optimizer(algo_cfg)
+    return TrainState(
+        params=params,
+        target_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+        key=skey,
+        updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def build_net_input(frames: jnp.ndarray, flatten: bool) -> jnp.ndarray:
+    """Mirror the actor's net input: (B, F, ...) stack -> model input."""
+    if flatten:
+        return frames.reshape(frames.shape[0], -1)
+    return frames
+
+
+def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
+                  env, col, frame_stack: int, n_step: int,
+                  flatten: bool, recurrent_fields: bool = False):
+    """Gather everything one FF update needs from the ring storage."""
+    obs_t = frame_stack_gather(replay_cfg, rstate, env, col, frame_stack)
+    obs_tn = frame_stack_gather(replay_cfg, rstate, env,
+                                col + n_step, frame_stack)
+    win = replay_gather_window(replay_cfg, rstate, env, col, n_step,
+                               fields=["reward", "done"])
+    at = replay_gather_at(replay_cfg, rstate, env, col, fields=["action"])
+    return dict(
+        obs=build_net_input(obs_t, flatten),
+        next_obs=build_net_input(obs_tn, flatten),
+        action=at["action"],
+        rewards=win["reward"],
+        # `done` (terminated|truncated) bounds both the reward sum and
+        # the bootstrap: truncation is treated as termination for the
+        # target (documented approximation — auto-reset discards the
+        # terminal obs; see envs/base.py).
+        boundary=win["done"],
+    )
+
+
+def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
+                     replay_cfg: ReplayConfig, frame_stack: int,
+                     flatten: bool, axis_name: str | None = None):
+    """Build the (jit-able) learner update.
+
+    Returns fn(train_state, replay_state, beta) ->
+      (train_state, replay_state, metrics).
+    `axis_name`: set by the shard_map wrapper for multi-device psum
+    (SURVEY.md §5.8 ICI gradient allreduce); None = single device.
+    """
+    model = make_model(model_cfg)
+    tx = make_optimizer(algo_cfg)
+    B = algo_cfg.batch_size
+
+    def loss_fn(params, target_params, batch, taus_key):
+        if algo_cfg.algo == "dqn":
+            q_t, _ = model.apply(params, batch["obs"], ())
+            q_tn_target, _ = model.apply(target_params, batch["next_obs"], ())
+            if algo_cfg.double_q:
+                q_tn_online, _ = model.apply(params, batch["next_obs"], ())
+                q_tn_online = jax.lax.stop_gradient(q_tn_online)
+            else:
+                q_tn_online = q_tn_target
+            rew, disc = returns.nstep_return(
+                batch["rewards"],
+                batch["boundary"], algo_cfg.gamma)
+            target = losses.double_q_target(
+                q_tn_online, q_tn_target, rew, disc)
+            target = jax.lax.stop_gradient(target)
+            loss, td_abs = losses.q_learning_loss(
+                q_t, batch["action"], target, weights=batch["weight"],
+                kappa=algo_cfg.huber_kappa)
+            return loss, (td_abs, jnp.mean(jnp.max(q_t, -1)))
+
+        elif algo_cfg.algo == "iqn":
+            k1, k2, k3 = jax.random.split(taus_key, 3)
+            taus = jax.random.uniform(k1, (B, algo_cfg.num_tau))
+            taus_p = jax.random.uniform(k2, (B, algo_cfg.num_tau_prime))
+            quant_t, _ = model.apply(params, batch["obs"], (), taus)
+            q_sa = jnp.take_along_axis(
+                quant_t, batch["action"][:, None, None], axis=2)[..., 0]
+            # a* from online net mean over policy taus (double-IQN).
+            taus_pol = jax.random.uniform(
+                k3, (B, model_cfg.num_tau_policy))
+            src = params if algo_cfg.double_q else target_params
+            quant_pol, _ = model.apply(src, batch["next_obs"], (), taus_pol)
+            a_star = jnp.argmax(jnp.mean(quant_pol, axis=1), axis=-1)
+            quant_tn, _ = model.apply(
+                target_params, batch["next_obs"], (), taus_p)
+            q_next = jnp.take_along_axis(
+                quant_tn, a_star[:, None, None], axis=2)[..., 0]
+            rew, disc = returns.nstep_return(
+                batch["rewards"], batch["boundary"], algo_cfg.gamma)
+            target_quant = rew[:, None] + disc[:, None] * q_next
+            loss, td_abs = losses.quantile_huber_loss(
+                q_sa, taus, target_quant, weights=batch["weight"],
+                kappa=algo_cfg.huber_kappa)
+            return loss, (td_abs, jnp.mean(q_sa))
+        else:
+            raise ValueError(f"unknown algo {algo_cfg.algo!r}")
+
+    def update_step(state: TrainState, rstate: ReplayState,
+                    beta: jnp.ndarray):
+        key, skey, tkey = jax.random.split(state.key, 3)
+        idx = replay_sample_indices(replay_cfg, rstate, skey, B, beta)
+        batch = _gather_batch(replay_cfg, rstate, idx["env"], idx["col"],
+                              frame_stack, algo_cfg.n_step, flatten)
+        batch["weight"] = idx["weight"]
+
+        (loss, (td_abs, qmetric)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.target_params,
+                                   batch, tkey)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        upd = state.updates + 1
+        sync = (upd % algo_cfg.target_update_freq) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), state.target_params,
+            params)
+
+        rstate = replay_update_priorities(replay_cfg, rstate,
+                                          idx["leaf"], td_abs)
+        metrics = dict(loss=loss, q=qmetric,
+                       td_abs=jnp.mean(td_abs),
+                       grad_norm=optax.global_norm(grads),
+                       mean_weight=jnp.mean(idx["weight"]))
+        return TrainState(params=params, target_params=target_params,
+                          opt_state=opt_state, key=key, updates=upd), \
+            rstate, metrics
+
+    return update_step

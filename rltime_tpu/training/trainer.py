@@ -1,0 +1,235 @@
+"""Trainer: the host driver gluing acting, replay, and the learner.
+
+SURVEY.md §3.1 control flow, re-drawn for TPU (§3.5): the loop
+alternates {device acting over all lanes, single-transfer chunk
+insert, K jitted update steps} — the update path never touches host.
+
+Built entirely from a JSON config dict (SURVEY.md §1 L1):
+
+  {"env": {"type": "cartpole", "num_envs": 32},
+   "model": {...}, "frame_stack": 1,
+   "replay": {...}, "algo": {...},
+   "exploration": {"type": "epsilon_greedy", ...},
+   "train": {...}, "seed": 0}
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rltime_tpu.envs  # noqa: F401  (registers env types)
+import rltime_tpu.exploration  # noqa: F401  (registers exploration types)
+from rltime_tpu.acting.actor import Actor
+from rltime_tpu.config.config import build
+from rltime_tpu.history.replay import (
+    ReplayConfig, replay_init, replay_insert,
+)
+from rltime_tpu.models.policy import ModelConfig
+from rltime_tpu.training.learner import (
+    AlgoConfig, make_train_state, make_update_step,
+)
+from rltime_tpu.training import checkpoint as ckpt_lib
+from rltime_tpu.utils.loggers import RunLogger
+from rltime_tpu.utils.prng import fold_in_str
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    total_env_steps: int = 100_000
+    warmup_env_steps: int = 1_000
+    chunk_len: int = 16
+    updates_per_chunk: int = 1
+    log_interval: int = 2_000        # env steps
+    checkpoint_interval: int = 50_000
+    checkpoint_replay: bool = False
+    resume: bool = False
+
+
+def _mk_model_cfg(model: Dict[str, Any], num_actions: int) -> ModelConfig:
+    m = dict(model)
+    for k in ("mlp_hidden", "cnn_channels"):
+        if k in m:
+            m[k] = tuple(m[k])
+    return ModelConfig(num_actions=num_actions, **m)
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], result_dir: str,
+                 logger: Optional[RunLogger] = None):
+        self.config = config
+        self.result_dir = result_dir
+        seed = int(config.get("seed", 0))
+        root = jax.random.key(seed)
+
+        self.env = build(config["env"], seed=seed)
+        spec = self.env.spec
+        self.frame_stack = int(config.get("frame_stack", 1))
+        self.model_cfg = _mk_model_cfg(config.get("model", {}),
+                                       spec.num_actions)
+        self.algo_cfg = AlgoConfig(**config.get("algo", {}))
+        self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
+
+        if self.algo_cfg.algo == "r2d2":
+            from rltime_tpu.training.r2d2 import r2d2_horizon
+            horizon = r2d2_horizon(self.algo_cfg)
+        else:
+            horizon = self.algo_cfg.n_step
+        self.replay_cfg = ReplayConfig(
+            num_envs=self.env.num_envs,
+            horizon=horizon,
+            chunk_len=self.loop_cfg.chunk_len,
+            lookback=self.frame_stack - 1,
+            **config.get("replay", {}))
+
+        obs_jdt = (jnp.uint8 if spec.obs_dtype == np.uint8
+                   else jnp.float32)
+        fields = {
+            "obs": (spec.obs_shape, obs_jdt),
+            "action": ((), jnp.int32),
+            "reward": ((), jnp.float32),
+            "terminated": ((), jnp.bool_),
+            "done": ((), jnp.bool_),
+        }
+        if self.model_cfg.recurrent:
+            H = self.model_cfg.lstm_size
+            fields["rnn_c"] = ((H,), jnp.float32)
+            fields["rnn_h"] = ((H,), jnp.float32)
+        self.replay_state = replay_init(self.replay_cfg, fields)
+
+        exploration = build(config.get(
+            "exploration", {"type": "epsilon_greedy"}))
+        self.actor = Actor(self.env, self.model_cfg, self.frame_stack,
+                           exploration, fold_in_str(root, "actor"),
+                           self.loop_cfg.chunk_len)
+        self.flatten = len(spec.obs_shape) == 1
+
+        # learner state + jitted update
+        B = self.env.num_envs
+        if self.flatten:
+            ex_obs = jnp.zeros(
+                (1, int(np.prod(spec.obs_shape)) * self.frame_stack),
+                jnp.float32)
+        else:
+            ex_obs = jnp.zeros((1, self.frame_stack) + spec.obs_shape,
+                               obs_jdt)
+        self.train_state = make_train_state(
+            self.model_cfg, self.algo_cfg, fold_in_str(root, "learner"),
+            ex_obs)
+        algo = self.algo_cfg.algo
+        if algo in ("dqn", "iqn"):
+            self._update = jax.jit(
+                make_update_step(self.model_cfg, self.algo_cfg,
+                                 self.replay_cfg, self.frame_stack,
+                                 self.flatten),
+                donate_argnums=(0, 1))
+        elif algo == "r2d2":
+            from rltime_tpu.training.r2d2 import make_r2d2_update_step
+            self._update = jax.jit(
+                make_r2d2_update_step(self.model_cfg, self.algo_cfg,
+                                      self.replay_cfg, self.frame_stack,
+                                      self.flatten),
+                donate_argnums=(0, 1))
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        self.logger = logger or RunLogger(result_dir, config)
+        self.metrics_acc: Dict[str, float] = {}
+        self.updates_done = 0
+        self._t_start = time.time()
+        self._steps_at_last_log = 0
+        self._time_at_last_log = self._t_start
+
+        if self.loop_cfg.resume:
+            self._try_resume()
+
+    # ----- checkpointing -----
+    def _host_state(self):
+        return dict(env_steps=self.actor.env_steps,
+                    updates=self.updates_done)
+
+    def save_checkpoint(self):
+        rp = (self.replay_state if self.loop_cfg.checkpoint_replay
+              else None)
+        path = ckpt_lib.save(self.result_dir, self.actor.env_steps,
+                             self.train_state, self._host_state(), rp)
+        return path
+
+    def _try_resume(self):
+        step = ckpt_lib.latest_step(self.result_dir)
+        if step is None:
+            return
+        example = {"train_state": self.train_state,
+                   "host_state": self._host_state()}
+        if self.loop_cfg.checkpoint_replay:
+            example["replay_state"] = self.replay_state
+        restored = ckpt_lib.restore(self.result_dir, step, example)
+        self.train_state = restored["train_state"]
+        self.actor.env_steps = int(restored["host_state"]["env_steps"])
+        self.updates_done = int(restored["host_state"]["updates"])
+        if self.loop_cfg.checkpoint_replay and "replay_state" in restored:
+            self.replay_state = restored["replay_state"]
+        print(f"resumed from checkpoint at env step {step}")
+
+    # ----- training -----
+    def _beta(self) -> float:
+        a = self.algo_cfg
+        frac = min(self.actor.env_steps
+                   / max(self.loop_cfg.total_env_steps, 1), 1.0)
+        return a.per_beta_start + frac * (a.per_beta_end
+                                          - a.per_beta_start)
+
+    def train_chunk(self):
+        """One acting chunk + its learner updates. Returns metrics."""
+        chunk, act_info = self.actor.rollout(self.train_state.params)
+        self.replay_state = replay_insert(self.replay_cfg,
+                                          self.replay_state, chunk)
+        metrics = {}
+        if self.actor.env_steps >= self.loop_cfg.warmup_env_steps:
+            beta = jnp.float32(self._beta())
+            for _ in range(self.loop_cfg.updates_per_chunk):
+                self.train_state, self.replay_state, metrics = \
+                    self._update(self.train_state, self.replay_state,
+                                 beta)
+                self.updates_done += 1
+        return metrics, act_info
+
+    def train(self):
+        cfg = self.loop_cfg
+        next_log = self.actor.env_steps + cfg.log_interval
+        next_ckpt = self.actor.env_steps + cfg.checkpoint_interval
+        while self.actor.env_steps < cfg.total_env_steps:
+            metrics, _ = self.train_chunk()
+            if self.actor.env_steps >= next_log:
+                next_log = self.actor.env_steps + cfg.log_interval
+                self._log(metrics)
+            if self.actor.env_steps >= next_ckpt:
+                next_ckpt = self.actor.env_steps + cfg.checkpoint_interval
+                self.save_checkpoint()
+        self.save_checkpoint()
+        self.logger.close()
+        return self
+
+    def _log(self, metrics):
+        rets, lens = self.actor.episode_stats()
+        now = time.time()
+        steps = self.actor.env_steps
+        sps = ((steps - self._steps_at_last_log)
+               / max(now - self._time_at_last_log, 1e-9))
+        self._steps_at_last_log = steps
+        self._time_at_last_log = now
+        scalars = dict(env_steps=steps, updates=self.updates_done,
+                       steps_per_s=sps)
+        if rets:
+            scalars["episode_return_mean"] = float(np.mean(rets))
+            scalars["episode_return_median"] = float(np.median(rets))
+            scalars["episode_len_mean"] = float(np.mean(lens))
+        for k, v in metrics.items():
+            scalars[f"train/{k}"] = float(v)
+        self.logger.log_scalars(steps, scalars)
+        self.logger.summary(steps, {k: v for k, v in scalars.items()
+                                    if k != "env_steps"})
