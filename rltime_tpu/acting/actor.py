@@ -75,9 +75,6 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
         Returns (actions (E,) int32, new_state, info dict).
         """
         E = obs.shape[0]
-        dp = done_prev.astype(state.frames.dtype if
-                              state.frames.dtype != jnp.uint8
-                              else jnp.uint8)
         # Frame stack update: zero pre-reset frames, append new obs.
         mask_shape = (E,) + (1,) * (state.frames.ndim - 1)
         keep = (1 - done_prev.astype(jnp.int32)).reshape(mask_shape)

@@ -1,0 +1,237 @@
+"""Ape-X topology: host-sharded actors -> sharded replay -> DP learner.
+
+The [BJ] config #5 / SURVEY.md §7 M5 subsystem. Mapping of the
+reference's actor-pool/learner processes (SURVEY.md §2c) onto a TPU
+pod slice:
+
+  * every HOST runs one python process (`jax.distributed.initialize`)
+    driving E_per_device * local_device_count lockstep env lanes — the
+    per-host actor shard;
+  * acting uses a HOST-LOCAL copy of the params, refreshed every
+    `publish_interval` chunks (the reference's "publish weights to
+    actors" boundary, SURVEY.md §3.1 — here a device_get/device_put
+    pull instead of a pipe);
+  * transition chunks enter the GLOBAL replay via
+    `jax.make_array_from_process_local_data`: each process contributes
+    exactly its local devices' env lanes — the host->device stream of
+    SURVEY.md §3.5; no cross-host data movement on insert;
+  * the learner update is the shard_map step from parallel/mesh.py:
+    per-device PER sampling + grad pmean over ICI; target-net sync is
+    free (replicated);
+  * per-actor epsilon ladder spans the GLOBAL env lanes (Ape-X
+    semantics: lane i of E_global gets eps^(1+alpha*i/(E-1))).
+
+Single-process multi-device is the degenerate case (tested on the
+8-device CPU mesh); multi-host runs launch rltime_tpu.train_distributed
+on every host.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import rltime_tpu.envs  # noqa: F401
+import rltime_tpu.exploration  # noqa: F401
+from rltime_tpu.acting.actor import Actor
+from rltime_tpu.config.config import build
+from rltime_tpu.exploration.epsilon import epsilon_ladder
+from rltime_tpu.history.replay import ReplayConfig
+from rltime_tpu.models.policy import ModelConfig
+from rltime_tpu.parallel.mesh import (
+    make_mesh, make_sharded_insert, make_sharded_update_step,
+    replay_partition_specs, sharded_replay_init,
+)
+from rltime_tpu.training.learner import AlgoConfig, make_train_state
+from rltime_tpu.training.trainer import TrainLoopConfig, _mk_model_cfg
+from rltime_tpu.utils.loggers import RunLogger
+from rltime_tpu.utils.prng import fold_in_str
+
+
+class _GlobalLadder:
+    """Ape-X ladder over the global lane index space for this host."""
+
+    def __init__(self, e_global: int, offset: int, e_host: int,
+                 base_eps: float = 0.4, alpha: float = 7.0):
+        full = epsilon_ladder(e_global, base_eps, alpha)
+        self._eps = full[offset:offset + e_host]
+
+    def epsilons(self, num_envs: int, env_step: int):
+        return self._eps
+
+
+class ApexTrainer:
+    def __init__(self, config: Dict[str, Any], result_dir: str,
+                 mesh=None):
+        self.config = config
+        seed = int(config.get("seed", 0))
+        root = jax.random.key(seed)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        d = self.mesh.shape["data"]
+        self.num_shards = d
+
+        proc = jax.process_index()
+        n_local = jax.local_device_count()
+        self.is_lead = proc == 0
+
+        env_cfg = dict(config["env"])
+        e_per_device = int(env_cfg.pop("num_envs"))
+        e_host = e_per_device * n_local
+        e_global = e_per_device * d
+        self.env = build({**env_cfg, "num_envs": e_host},
+                         seed=seed + proc * 7919)
+        spec = self.env.spec
+        self.frame_stack = int(config.get("frame_stack", 1))
+        self.model_cfg = _mk_model_cfg(config.get("model", {}),
+                                       spec.num_actions)
+        self.algo_cfg = AlgoConfig(**config.get("algo", {}))
+        self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
+        self.publish_interval = int(config.get("publish_interval", 1))
+
+        if self.algo_cfg.algo == "r2d2":
+            from rltime_tpu.training.r2d2 import r2d2_horizon
+            horizon = r2d2_horizon(self.algo_cfg)
+        else:
+            horizon = self.algo_cfg.n_step
+        self.replay_cfg = ReplayConfig(
+            num_envs=e_per_device,
+            horizon=horizon,
+            chunk_len=self.loop_cfg.chunk_len,
+            lookback=self.frame_stack - 1,
+            **config.get("replay", {}))
+
+        obs_jdt = (jnp.uint8 if spec.obs_dtype == np.uint8
+                   else jnp.float32)
+        fields = {
+            "obs": (spec.obs_shape, obs_jdt),
+            "action": ((), jnp.int32),
+            "reward": ((), jnp.float32),
+            "terminated": ((), jnp.bool_),
+            "done": ((), jnp.bool_),
+        }
+        if self.model_cfg.recurrent:
+            H = self.model_cfg.lstm_size
+            fields["rnn_c"] = ((H,), jnp.float32)
+            fields["rnn_h"] = ((H,), jnp.float32)
+        self.replay_state = sharded_replay_init(
+            self.replay_cfg, d, fields, self.mesh)
+        self._chunk_sharding = NamedSharding(self.mesh, P("data"))
+
+        exp_cfg = dict(config.get("exploration",
+                                  {"type": "epsilon_greedy"}))
+        if exp_cfg.get("mode") == "ladder":
+            exploration = _GlobalLadder(
+                e_global, proc * e_host, e_host,
+                exp_cfg.get("base_eps", 0.4), exp_cfg.get("alpha", 7.0))
+        else:
+            exploration = build(exp_cfg)
+        self.actor = Actor(self.env, self.model_cfg, self.frame_stack,
+                           exploration,
+                           jax.random.fold_in(
+                               fold_in_str(root, "actor"), proc),
+                           self.loop_cfg.chunk_len)
+        self.flatten = len(spec.obs_shape) == 1
+
+        if self.flatten:
+            ex_obs = jnp.zeros(
+                (1, int(np.prod(spec.obs_shape)) * self.frame_stack),
+                jnp.float32)
+        else:
+            ex_obs = jnp.zeros((1, self.frame_stack) + spec.obs_shape,
+                               obs_jdt)
+        self.train_state = make_train_state(
+            self.model_cfg, self.algo_cfg, fold_in_str(root, "learner"),
+            ex_obs)
+        # replicate explicitly over the global mesh
+        rep = NamedSharding(self.mesh, P())
+        self.train_state = jax.device_put(self.train_state, rep)
+
+        self._insert = make_sharded_insert(
+            self.replay_cfg, self.mesh, self.replay_state)
+        self._update = make_sharded_update_step(
+            self.model_cfg, self.algo_cfg, self.replay_cfg,
+            self.frame_stack, self.flatten, self.mesh,
+            self.replay_state)
+
+        # host-local actor params (SURVEY.md §7 M5 "explicit host pull")
+        self._actor_params = jax.device_get(self.train_state.params)
+        self.updates_done = 0
+        self._chunks = 0
+        self.logger = (RunLogger(result_dir, config)
+                       if self.is_lead else None)
+        self._steps_at_last_log = 0
+        self._time_at_last_log = time.time()
+
+    @property
+    def global_env_steps(self) -> int:
+        # every process steps E_host lanes in lockstep; global lanes
+        # per step = E_host * process_count.
+        return self.actor.env_steps * jax.process_count()
+
+    def _beta(self) -> float:
+        a = self.algo_cfg
+        frac = min(self.global_env_steps
+                   / max(self.loop_cfg.total_env_steps, 1), 1.0)
+        return a.per_beta_start + frac * (a.per_beta_end
+                                          - a.per_beta_start)
+
+    def _make_global_chunk(self, chunk):
+        """Per-process local lanes -> globally sharded arrays."""
+        out = {}
+        for k, v in chunk.items():
+            arr = np.asarray(v)
+            out[k] = jax.make_array_from_process_local_data(
+                self._chunk_sharding, arr)
+        return out
+
+    def train_chunk(self):
+        chunk, _ = self.actor.rollout(self._actor_params)
+        self.replay_state = self._insert(
+            self.replay_state, self._make_global_chunk(chunk))
+        self._chunks += 1
+        metrics = {}
+        if self.global_env_steps >= self.loop_cfg.warmup_env_steps:
+            beta = jnp.float32(self._beta())
+            for _ in range(self.loop_cfg.updates_per_chunk):
+                self.train_state, self.replay_state, metrics = \
+                    self._update(self.train_state, self.replay_state,
+                                 beta)
+                self.updates_done += 1
+            if self._chunks % self.publish_interval == 0:
+                self._actor_params = jax.device_get(
+                    self.train_state.params)
+        return metrics
+
+    def train(self):
+        cfg = self.loop_cfg
+        next_log = cfg.log_interval
+        while self.global_env_steps < cfg.total_env_steps:
+            metrics = self.train_chunk()
+            if self.is_lead and self.global_env_steps >= next_log:
+                next_log = self.global_env_steps + cfg.log_interval
+                self._log(metrics)
+        if self.logger is not None:
+            self.logger.close()
+        return self
+
+    def _log(self, metrics):
+        rets, lens = self.actor.episode_stats()
+        now = time.time()
+        steps = self.global_env_steps
+        sps = ((steps - self._steps_at_last_log)
+               / max(now - self._time_at_last_log, 1e-9))
+        self._steps_at_last_log = steps
+        self._time_at_last_log = now
+        scalars = dict(env_steps=steps, updates=self.updates_done,
+                       steps_per_s=sps)
+        if rets:
+            scalars["episode_return_mean"] = float(np.mean(rets))
+        for k, v in metrics.items():
+            scalars[f"train/{k}"] = float(v)
+        self.logger.log_scalars(steps, scalars)
+        self.logger.summary(steps, {k: v for k, v in scalars.items()
+                                    if k != "env_steps"})

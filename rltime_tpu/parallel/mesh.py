@@ -1,0 +1,169 @@
+"""Mesh plane: sharded replay + data-parallel learner (SURVEY.md §2b,
+§3.5, §5.8).
+
+The reference's "distributed layer" is multiprocess actors feeding one
+learner over pipes (SURVEY.md §2c). The TPU-native equivalent:
+
+  * a global `jax.sharding.Mesh` with axes ('data', 'model') — 'model'
+    reserved/unused (SURVEY.md §2b: cheap future-proofing);
+  * replay SHARDED over 'data' on the env axis: each device owns
+    E_local = E/d env lanes, their ring columns, and an INDEPENDENT
+    per-shard sum tree (SURVEY.md §2b "sampling via per-shard segment
+    trees") — sampling never crosses shards, so no collective is paid
+    on the sample path;
+  * the update step runs under `shard_map`: each device samples B/d
+    from its shard, computes grads, `pmean`s them over ICI, and applies
+    the identical optimizer step — params/opt state stay replicated
+    (target-net "broadcast" is free: replicated arrays never move);
+  * priority write-back is shard-local; `max_priority` is kept
+    coherent with one `pmax` per insert/update.
+
+Everything composes the UNCHANGED single-device functions from
+history/replay.py and training/learner.py — the local code IS the
+distributed code, shard_map just changes what "E" means.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rltime_tpu.history.replay import (
+    ReplayConfig, ReplayState, replay_init, replay_insert,
+)
+from rltime_tpu.models.policy import ModelConfig
+from rltime_tpu.training.learner import AlgoConfig, TrainState
+
+
+def make_mesh(devices=None, data: Optional[int] = None,
+              model: int = 1) -> Mesh:
+    """Mesh over all (or given) devices: ('data', 'model')."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    arr = np.array(devices[:data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def sharded_replay_init(local_cfg: ReplayConfig, num_shards: int,
+                        field_specs: Dict[str, Tuple[Tuple[int, ...], Any]],
+                        mesh: Mesh) -> ReplayState:
+    """Global replay state for `num_shards` independent shards.
+
+    Layout: storage (d*E_local, T, ...) and tree (d*2N_local,) —
+    sharding either on its leading axis over 'data' gives each device
+    exactly the local single-device state. NOT a pow2(E_global*T)
+    monolithic tree: per-shard trees keep the descend local.
+    """
+    local = replay_init(local_cfg, field_specs)
+    def rep(x, spec):
+        tiled = jnp.concatenate([x] * num_shards, axis=0) \
+            if x.ndim > 0 else x
+        return jax.device_put(tiled, NamedSharding(mesh, spec))
+    storage = {k: rep(v, P("data")) for k, v in local.storage.items()}
+    return ReplayState(
+        storage=storage,
+        t=jax.device_put(local.t, NamedSharding(mesh, P())),
+        tree=rep(local.tree, P("data")),
+        max_priority=jax.device_put(local.max_priority,
+                                    NamedSharding(mesh, P())),
+    )
+
+
+def replay_partition_specs(state: ReplayState) -> ReplayState:
+    """PartitionSpec pytree matching sharded_replay_init's layout."""
+    return ReplayState(
+        storage={k: P("data") for k in state.storage},
+        t=P(),
+        tree=P("data"),
+        max_priority=P(),
+    )
+
+
+def shard_chunk(chunk: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place an acting chunk (E_global, L, ...) sharded over 'data'."""
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(jnp.asarray(v), sh)
+            for k, v in chunk.items()}
+
+
+def make_sharded_insert(local_cfg: ReplayConfig, mesh: Mesh,
+                        example_state: ReplayState):
+    """shard_map'd insert: every device inserts its local env lanes."""
+    specs = replay_partition_specs(example_state)
+
+    def _insert(state, chunk):
+        new = replay_insert(local_cfg, state, chunk)
+        # keep the replicated scalars coherent across shards
+        return new.replace(
+            t=jax.lax.pmax(new.t, "data"),
+            max_priority=jax.lax.pmax(new.max_priority, "data"))
+
+    chunk_specs = {k: P("data") for k in example_state.storage}
+    f = shard_map(_insert, mesh=mesh,
+                  in_specs=(specs, chunk_specs),
+                  out_specs=specs,
+                  check_vma=False)
+    return jax.jit(f, donate_argnums=(0,))
+
+
+def make_sharded_update_step(model_cfg: ModelConfig,
+                             algo_cfg: AlgoConfig,
+                             local_replay_cfg: ReplayConfig,
+                             frame_stack: int, flatten: bool,
+                             mesh: Mesh,
+                             example_rstate: ReplayState):
+    """shard_map'd learner update (SURVEY.md §3.5).
+
+    algo_cfg.batch_size is the PER-DEVICE batch; the effective global
+    batch is batch_size * mesh 'data' size. Gradients pmean over
+    'data'; params/opt-state/target stay replicated (out_specs P()).
+    """
+    if algo_cfg.algo == "r2d2":
+        from rltime_tpu.training.r2d2 import make_r2d2_update_step
+        local_update = make_r2d2_update_step(
+            model_cfg, algo_cfg, local_replay_cfg, frame_stack,
+            flatten, axis_name="data")
+    else:
+        from rltime_tpu.training.learner import make_update_step
+        local_update = make_update_step(
+            model_cfg, algo_cfg, local_replay_cfg, frame_stack,
+            flatten, axis_name="data")
+
+    rspecs = replay_partition_specs(example_rstate)
+
+    def _update(tstate, rstate, beta):
+        # Decorrelate shard sampling: fold the shard index into the
+        # key; the carried key update stays replicated (same split
+        # applied everywhere).
+        shard = jax.lax.axis_index("data")
+        local_t = tstate.replace(
+            key=jax.random.fold_in(tstate.key, shard))
+        new_t, new_r, metrics = local_update(local_t, rstate, beta)
+        # Restore the replicated key stream (split of the shared key).
+        new_key = jax.random.split(tstate.key, 3)[0]
+        new_t = new_t.replace(key=new_key)
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "data"),
+                               metrics)
+        new_r = new_r.replace(
+            max_priority=jax.lax.pmax(new_r.max_priority, "data"))
+        return new_t, new_r, metrics
+
+    def wrapped(tstate: TrainState, rstate: ReplayState, beta):
+        ts_specs = jax.tree.map(lambda _: P(), tstate)
+        f = shard_map(
+            _update, mesh=mesh,
+            in_specs=(ts_specs, rspecs, P()),
+            out_specs=(ts_specs, rspecs,
+                       jax.tree.map(lambda _: P(),
+                                    dict(loss=0, q=0, td_abs=0,
+                                         grad_norm=0, mean_weight=0))),
+            check_vma=False)
+        return f(tstate, rstate, beta)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1))
