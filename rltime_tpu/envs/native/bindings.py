@@ -1,0 +1,127 @@
+"""ctypes bindings for the C++ batched stepper (SURVEY.md §2a).
+
+The shared library auto-builds on first use (g++ -O3, ~1s) into
+native/_build/. pybind11 is not in the image, so the ABI is plain C
+and the arrays are preallocated numpy buffers passed by pointer —
+zero copies on the step path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from rltime_tpu.config.registry import register
+from rltime_tpu.envs.base import VecEnv, EnvSpec
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_DIR, "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libstepper.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def library_path() -> str:
+    return _LIB_PATH
+
+
+def build_library(force: bool = False) -> str:
+    src = os.path.join(_DIR, "stepper.cpp")
+    with _LOCK:
+        if force or (not os.path.exists(_LIB_PATH)
+                     or os.path.getmtime(_LIB_PATH)
+                     < os.path.getmtime(src)):
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", "-pthread", src, "-o", _LIB_PATH]
+            subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(build_library())
+        lib.cartpole_create.restype = ctypes.c_void_p
+        lib.cartpole_create.argtypes = [ctypes.c_int32, ctypes.c_uint64,
+                                        ctypes.c_int32, ctypes.c_int32]
+        lib.cartpole_destroy.argtypes = [ctypes.c_void_p]
+        lib.cartpole_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                       ctypes.c_void_p]
+        lib.cartpole_step.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+        lib.cartpole_step_many.argtypes = ([ctypes.c_void_p,
+                                            ctypes.c_int32]
+                                           + [ctypes.c_void_p] * 5)
+        _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+@register("cartpole_native")
+class NativeCartPoleVecEnv(VecEnv):
+    """C++ lane-pool CartPole: VecEnv-identical semantics to
+    envs/cartpole.py (init-state RNG differs — std::mt19937 vs numpy
+    PCG — so trajectories are same-distribution, not bit-equal)."""
+
+    def __init__(self, num_envs: int, seed: int = 0,
+                 num_threads: int = 0, time_limit: int = 500):
+        lib = _load()
+        self.num_envs = num_envs
+        self.spec = EnvSpec(obs_shape=(4,), obs_dtype=np.float32,
+                            num_actions=2)
+        if num_threads <= 0:
+            # The lockstep barrier costs ~µs per step: only shard
+            # across threads when each shard has real work (cheap
+            # envs need >=1024 lanes per thread to amortize; emulator
+            # lanes like ALE amortize at ~8).
+            num_threads = max(1, min(os.cpu_count() or 1,
+                                     num_envs // 1024))
+        self._h = lib.cartpole_create(num_envs, seed, num_threads,
+                                      time_limit)
+        self._lib = lib
+        E = num_envs
+        self._obs = np.empty((E, 4), np.float32)
+        self._rew = np.empty((E,), np.float32)
+        self._term = np.empty((E,), np.uint8)
+        self._trunc = np.empty((E,), np.uint8)
+
+    def reset(self, seed: int = 0) -> np.ndarray:
+        self._lib.cartpole_reset(self._h, seed, _ptr(self._obs))
+        return self._obs.copy()
+
+    def step(self, actions: np.ndarray):
+        a = np.ascontiguousarray(actions, np.int32)
+        self._lib.cartpole_step(self._h, _ptr(a), _ptr(self._obs),
+                                _ptr(self._rew), _ptr(self._term),
+                                _ptr(self._trunc))
+        return (self._obs.copy(), self._rew.copy(),
+                self._term.astype(bool), self._trunc.astype(bool))
+
+    def step_many(self, actions: np.ndarray):
+        """(steps, E) actions -> stacked outputs; one C call per chunk."""
+        S, E = actions.shape
+        a = np.ascontiguousarray(actions, np.int32)
+        obs = np.empty((S, E, 4), np.float32)
+        rew = np.empty((S, E), np.float32)
+        term = np.empty((S, E), np.uint8)
+        trunc = np.empty((S, E), np.uint8)
+        self._lib.cartpole_step_many(self._h, S, _ptr(a), _ptr(obs),
+                                     _ptr(rew), _ptr(term), _ptr(trunc))
+        return obs, rew, term.astype(bool), trunc.astype(bool)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.cartpole_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
