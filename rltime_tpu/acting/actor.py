@@ -105,9 +105,11 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
         random_a = jax.random.randint(akey, (E,), 0, cfg.num_actions,
                                       dtype=jnp.int32)
         actions = jnp.where(explore, random_a, greedy)
-        info = dict(q_mean=jnp.mean(qv), q_max=jnp.mean(jnp.max(qv, -1)))
+        q_sa = jnp.take_along_axis(qv, actions[:, None], axis=-1)[:, 0]
+        q_best = jnp.max(qv, axis=-1)
+        info = dict(q_mean=jnp.mean(qv), q_max=jnp.mean(q_best))
         new_state = ActorDeviceState(frames=frames, rnn=rnn, key=key)
-        return actions, new_state, info, stored_rnn
+        return actions, new_state, info, stored_rnn, q_sa, q_best
 
     return act_step
 
@@ -123,12 +125,19 @@ class Actor:
     """
 
     def __init__(self, env, cfg: ModelConfig, frame_stack: int,
-                 exploration, key, chunk_len: int):
+                 exploration, key, chunk_len: int,
+                 compute_priorities: bool = False, gamma: float = 0.99):
         self.env = env
         self.cfg = cfg
         self.frame_stack = frame_stack
         self.exploration = exploration
         self.chunk_len = chunk_len
+        # Ape-X actor-side initial priorities (arxiv 1803.00933 §B):
+        # emit each transition one step late so its 1-step TD estimate
+        # |r + gamma*(1-term)*max_a Q(s') - Q(s,a)| can ride along.
+        self.compute_priorities = compute_priorities
+        self.gamma = gamma
+        self._pending = None
         flatten = len(env.spec.obs_shape) == 1
         self.flatten_stack = flatten
         self._act_step = make_act_step(cfg, frame_stack, flatten)
@@ -153,7 +162,9 @@ class Actor:
         """Collect a chunk of num_steps lockstep transitions.
 
         Returns (chunk dict of numpy/device arrays each (E, L, ...),
-        info dict). The LSTM fields stay on device.
+        info dict). The LSTM fields stay on device. With
+        compute_priorities, the chunk also carries "priority" (raw
+        1-step |TD|) and transitions are emitted one policy step late.
         """
         L = num_steps or self.chunk_len
         E = self.env.num_envs
@@ -163,24 +174,49 @@ class Actor:
         rew_buf = np.empty((E, L), np.float32)
         term_buf = np.empty((E, L), bool)
         done_buf = np.empty((E, L), bool)
+        prio_buf = (np.empty((E, L), np.float32)
+                    if self.compute_priorities else None)
         rnn_steps = []
         q_mean = 0.0
+        emitted = 0
 
-        for t in range(L):
-            eps = self.exploration.epsilons(E, self.env_steps)
-            actions, self.state, info, stored_rnn = self._act_step(
-                params, self.state, self.obs, self.done_prev,
-                jnp.asarray(eps))
+        def emit(tr, prio=None):
+            nonlocal emitted
+            i = emitted
+            obs_buf[:, i] = tr["obs"]
+            act_buf[:, i] = tr["action"]
+            rew_buf[:, i] = tr["reward"]
+            term_buf[:, i] = tr["terminated"]
+            done_buf[:, i] = tr["done"]
+            if prio_buf is not None:
+                prio_buf[:, i] = prio
             if self.cfg.recurrent:
-                rnn_steps.append(stored_rnn)
+                rnn_steps.append(tr["rnn"])
+            emitted += 1
+
+        while emitted < L:
+            eps = self.exploration.epsilons(E, self.env_steps)
+            (actions, self.state, info, stored_rnn, q_sa,
+             q_best) = self._act_step(params, self.state, self.obs,
+                                      self.done_prev, jnp.asarray(eps))
+            if self.compute_priorities and self._pending is not None:
+                p = self._pending
+                td = np.abs(p["reward"]
+                            + self.gamma
+                            * (1.0 - p["terminated"].astype(np.float32))
+                            * np.asarray(q_best) - p["q_sa"])
+                emit(p, td)
             actions_np = np.asarray(actions)
-            obs_buf[:, t] = self.obs
-            act_buf[:, t] = actions_np
+            obs_cur = self.obs
             next_obs, rew, term, trunc = self.env.step(actions_np)
             done = term | trunc
-            rew_buf[:, t] = rew
-            term_buf[:, t] = term
-            done_buf[:, t] = done
+            tr = dict(obs=obs_cur, action=actions_np, reward=rew,
+                      terminated=term, done=done, rnn=stored_rnn,
+                      q_sa=np.asarray(q_sa))
+            if self.compute_priorities:
+                self._pending = tr
+            else:
+                emit(tr)
             # episode bookkeeping
             self._ep_ret += rew
             self._ep_len += 1
@@ -196,6 +232,8 @@ class Actor:
 
         chunk = dict(obs=obs_buf, action=act_buf, reward=rew_buf,
                      terminated=term_buf, done=done_buf)
+        if prio_buf is not None:
+            chunk["priority"] = prio_buf
         if self.cfg.recurrent:
             # (L, (c,h) of (E,H)) -> two (E, L, H) device arrays.
             c = jnp.stack([s[0] for s in rnn_steps], axis=1)

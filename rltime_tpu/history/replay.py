@@ -51,6 +51,11 @@ class ReplayConfig:
     prioritized: bool = True
     alpha: float = 0.6       # PER exponent (priorities stored ^alpha)
     min_priority: float = 1e-6
+    # Ape-X actor-side initial priorities ([BJ] "actors produce
+    # transitions with initial priorities"): when True and the chunk
+    # carries a "priority" field (raw |TD| estimates from the actor),
+    # activation uses (p + min_priority)^alpha instead of max-priority.
+    use_inserted_priorities: bool = False
 
     def __post_init__(self):
         if self.steps_per_env % self.chunk_len != 0:
@@ -140,12 +145,20 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
         act_u = state.t + offs - cfg.horizon      # unwrapped times
         act_cols = jnp.mod(act_u, T)
         live = _flat_leaf(cfg, env_ids, act_cols)
-        prio = jnp.where(act_u >= 0, state.max_priority, 0.0)
-        # Avoid resurrecting the just-zeroed columns when horizon==0.
+        if cfg.use_inserted_priorities and "priority" in storage:
+            raw = storage["priority"][env_ids, act_cols]
+            base = (raw + cfg.min_priority) ** cfg.alpha
+        else:
+            base = state.max_priority
+        prio = jnp.where(act_u >= 0, base, 0.0)
         tree = sum_tree.set_priorities(tree, live, prio.astype(tree.dtype))
 
+    max_p = state.max_priority
+    if cfg.prioritized and cfg.use_inserted_priorities \
+            and "priority" in storage:
+        max_p = jnp.maximum(max_p, jnp.max(prio))
     return ReplayState(storage=storage, t=state.t + L, tree=tree,
-                       max_priority=state.max_priority)
+                       max_priority=max_p)
 
 
 def valid_range(cfg: ReplayConfig, t: jnp.ndarray):
@@ -187,6 +200,9 @@ def replay_sample_indices(cfg: ReplayConfig, state: ReplayState, key,
     tot = sum_tree.total(state.tree)
     p = prio / jnp.maximum(tot, 1e-30)
     w = (num_valid.astype(jnp.float32) * p) ** (-beta)
+    # Belt-and-braces: the descend cannot land on a zero leaf while
+    # total > 0, but a zero weight (not inf/NaN) is the safe failure.
+    w = jnp.where(prio > 0, w, 0.0)
     w = w / jnp.maximum(jnp.max(w), 1e-30)
     return dict(env=env.astype(jnp.int32), col=col.astype(jnp.int32),
                 leaf=leaf, weight=w.astype(jnp.float32),

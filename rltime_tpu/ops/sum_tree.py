@@ -80,14 +80,23 @@ def set_priorities(tree: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _descend(tree: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized stochastic descend: prefix-sum targets -> leaf indices."""
+    """Vectorized stochastic descend: prefix-sum targets -> leaf indices.
+
+    Zero-subtree-proof: a float-boundary target (t == left subtree sum
+    exactly) must not step into an empty right subtree — and vice
+    versa — or the caller would sample a zero-priority leaf and blow
+    up its importance weight. Each level therefore checks the child
+    masses, not just the target.
+    """
     n = capacity(tree)
     depth = n.bit_length() - 1
     idx = jnp.ones_like(targets, dtype=jnp.int32)
     t = targets
     for _ in range(depth):
         left = tree[2 * idx]
-        go_right = t >= left
+        right = tree[2 * idx + 1]
+        go_right = (t >= left) & (right > 0)
+        go_right = go_right | (left <= 0)
         t = jnp.where(go_right, t - left, t)
         idx = 2 * idx + go_right.astype(jnp.int32)
     return idx - n

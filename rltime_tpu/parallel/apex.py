@@ -117,6 +117,8 @@ class ApexTrainer:
             H = self.model_cfg.lstm_size
             fields["rnn_c"] = ((H,), jnp.float32)
             fields["rnn_h"] = ((H,), jnp.float32)
+        if self.replay_cfg.use_inserted_priorities:
+            fields["priority"] = ((), jnp.float32)
         self.replay_state = sharded_replay_init(
             self.replay_cfg, d, fields, self.mesh)
         self._chunk_sharding = NamedSharding(self.mesh, P("data"))
@@ -129,11 +131,12 @@ class ApexTrainer:
                 exp_cfg.get("base_eps", 0.4), exp_cfg.get("alpha", 7.0))
         else:
             exploration = build(exp_cfg)
-        self.actor = Actor(self.env, self.model_cfg, self.frame_stack,
-                           exploration,
-                           jax.random.fold_in(
-                               fold_in_str(root, "actor"), proc),
-                           self.loop_cfg.chunk_len)
+        self.actor = Actor(
+            self.env, self.model_cfg, self.frame_stack, exploration,
+            jax.random.fold_in(fold_in_str(root, "actor"), proc),
+            self.loop_cfg.chunk_len,
+            compute_priorities=self.replay_cfg.use_inserted_priorities,
+            gamma=self.algo_cfg.gamma)
         self.flatten = len(spec.obs_shape) == 1
 
         if self.flatten:
@@ -155,7 +158,8 @@ class ApexTrainer:
         self._update = make_sharded_update_step(
             self.model_cfg, self.algo_cfg, self.replay_cfg,
             self.frame_stack, self.flatten, self.mesh,
-            self.replay_state)
+            self.replay_state,
+            num_updates=self.loop_cfg.updates_per_chunk)
 
         # host-local actor params (SURVEY.md §7 M5 "explicit host pull")
         self._actor_params = jax.device_get(self.train_state.params)
@@ -196,11 +200,9 @@ class ApexTrainer:
         metrics = {}
         if self.global_env_steps >= self.loop_cfg.warmup_env_steps:
             beta = jnp.float32(self._beta())
-            for _ in range(self.loop_cfg.updates_per_chunk):
-                self.train_state, self.replay_state, metrics = \
-                    self._update(self.train_state, self.replay_state,
-                                 beta)
-                self.updates_done += 1
+            self.train_state, self.replay_state, metrics = \
+                self._update(self.train_state, self.replay_state, beta)
+            self.updates_done += self.loop_cfg.updates_per_chunk
             if self._chunks % self.publish_interval == 0:
                 self._actor_params = jax.device_get(
                     self.train_state.params)

@@ -117,12 +117,15 @@ def make_sharded_update_step(model_cfg: ModelConfig,
                              local_replay_cfg: ReplayConfig,
                              frame_stack: int, flatten: bool,
                              mesh: Mesh,
-                             example_rstate: ReplayState):
+                             example_rstate: ReplayState,
+                             num_updates: int = 1):
     """shard_map'd learner update (SURVEY.md §3.5).
 
     algo_cfg.batch_size is the PER-DEVICE batch; the effective global
     batch is batch_size * mesh 'data' size. Gradients pmean over
     'data'; params/opt-state/target stay replicated (out_specs P()).
+    num_updates > 1 fuses K updates into one launch via lax.scan
+    INSIDE the shard_map (collectives stay in the loop body).
     """
     if algo_cfg.algo == "r2d2":
         from rltime_tpu.training.r2d2 import make_r2d2_update_step
@@ -137,7 +140,7 @@ def make_sharded_update_step(model_cfg: ModelConfig,
 
     rspecs = replay_partition_specs(example_rstate)
 
-    def _update(tstate, rstate, beta):
+    def _one(tstate, rstate, beta):
         # Decorrelate shard sampling: fold the shard index into the
         # key; the carried key update stays replicated (same split
         # applied everywhere).
@@ -153,6 +156,18 @@ def make_sharded_update_step(model_cfg: ModelConfig,
         new_r = new_r.replace(
             max_priority=jax.lax.pmax(new_r.max_priority, "data"))
         return new_t, new_r, metrics
+
+    def _update(tstate, rstate, beta):
+        if num_updates == 1:
+            return _one(tstate, rstate, beta)
+
+        def body(carry, _):
+            t, r = carry
+            t, r, m = _one(t, r, beta)
+            return (t, r), m
+        (tstate, rstate), ms = jax.lax.scan(
+            body, (tstate, rstate), None, length=num_updates)
+        return tstate, rstate, jax.tree.map(lambda m: m[-1], ms)
 
     def wrapped(tstate: TrainState, rstate: ReplayState, beta):
         ts_specs = jax.tree.map(lambda _: P(), tstate)

@@ -213,3 +213,24 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             rstate, metrics
 
     return update_step
+
+
+def make_multi_update_step(update_step, num_updates: int):
+    """Fuse K update steps into ONE jit dispatch via lax.scan.
+
+    Cuts per-update dispatch/launch overhead K-fold — on the remote-
+    attached TPU a dispatch costs ~0.1ms against a ~0.7ms step, so
+    chunked training runs the whole updates_per_chunk budget as one
+    launch. Returns the metrics of the LAST step (same contract as a
+    single update).
+    """
+    def multi(state, rstate, beta):
+        def body(carry, _):
+            s, r = carry
+            s, r, m = update_step(s, r, beta)
+            return (s, r), m
+        (state, rstate), ms = jax.lax.scan(
+            body, (state, rstate), None, length=num_updates)
+        metrics = jax.tree.map(lambda m: m[-1], ms)
+        return state, rstate, metrics
+    return multi

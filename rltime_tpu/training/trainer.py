@@ -99,13 +99,18 @@ class Trainer:
             H = self.model_cfg.lstm_size
             fields["rnn_c"] = ((H,), jnp.float32)
             fields["rnn_h"] = ((H,), jnp.float32)
+        if self.replay_cfg.use_inserted_priorities:
+            fields["priority"] = ((), jnp.float32)
         self.replay_state = replay_init(self.replay_cfg, fields)
 
         exploration = build(config.get(
             "exploration", {"type": "epsilon_greedy"}))
-        self.actor = Actor(self.env, self.model_cfg, self.frame_stack,
-                           exploration, fold_in_str(root, "actor"),
-                           self.loop_cfg.chunk_len)
+        self.actor = Actor(
+            self.env, self.model_cfg, self.frame_stack,
+            exploration, fold_in_str(root, "actor"),
+            self.loop_cfg.chunk_len,
+            compute_priorities=self.replay_cfg.use_inserted_priorities,
+            gamma=self.algo_cfg.gamma)
         self.flatten = len(spec.obs_shape) == 1
 
         # learner state + jitted update
@@ -122,20 +127,21 @@ class Trainer:
             ex_obs)
         algo = self.algo_cfg.algo
         if algo in ("dqn", "iqn"):
-            self._update = jax.jit(
-                make_update_step(self.model_cfg, self.algo_cfg,
-                                 self.replay_cfg, self.frame_stack,
-                                 self.flatten),
-                donate_argnums=(0, 1))
+            upd = make_update_step(self.model_cfg, self.algo_cfg,
+                                   self.replay_cfg, self.frame_stack,
+                                   self.flatten)
         elif algo == "r2d2":
             from rltime_tpu.training.r2d2 import make_r2d2_update_step
-            self._update = jax.jit(
-                make_r2d2_update_step(self.model_cfg, self.algo_cfg,
-                                      self.replay_cfg, self.frame_stack,
-                                      self.flatten),
-                donate_argnums=(0, 1))
+            upd = make_r2d2_update_step(self.model_cfg, self.algo_cfg,
+                                        self.replay_cfg,
+                                        self.frame_stack, self.flatten)
         else:
             raise ValueError(f"unknown algo {algo!r}")
+        k = self.loop_cfg.updates_per_chunk
+        if k > 1:  # one device launch per chunk
+            from rltime_tpu.training.learner import make_multi_update_step
+            upd = make_multi_update_step(upd, k)
+        self._update = jax.jit(upd, donate_argnums=(0, 1))
 
         self.logger = logger or RunLogger(result_dir, config)
         self.metrics_acc: Dict[str, float] = {}
@@ -191,11 +197,9 @@ class Trainer:
         metrics = {}
         if self.actor.env_steps >= self.loop_cfg.warmup_env_steps:
             beta = jnp.float32(self._beta())
-            for _ in range(self.loop_cfg.updates_per_chunk):
-                self.train_state, self.replay_state, metrics = \
-                    self._update(self.train_state, self.replay_state,
-                                 beta)
-                self.updates_done += 1
+            self.train_state, self.replay_state, metrics = \
+                self._update(self.train_state, self.replay_state, beta)
+            self.updates_done += self.loop_cfg.updates_per_chunk
         return metrics, act_info
 
     def train(self):

@@ -186,3 +186,28 @@ def test_config_validation():
     with pytest.raises(ValueError):  # lookback makes T too small
         ReplayConfig(num_envs=1, steps_per_env=16, horizon=4,
                      chunk_len=2, lookback=3)
+
+
+def test_inserted_priorities_activation():
+    """Ape-X actor-side initial priorities: activation uses the raw
+    |TD| carried in the chunk, not max-priority."""
+    cfg = ReplayConfig(num_envs=1, steps_per_env=16, horizon=2,
+                       chunk_len=4, prioritized=True,
+                       use_inserted_priorities=True, alpha=1.0,
+                       min_priority=0.0)
+    fields = dict(FIELDS)
+    fields["priority"] = ((), jnp.float32)
+    st = replay_init(cfg, fields)
+    ck = _chunk(cfg, 0)
+    ck["priority"] = jnp.array([[5.0, 3.0, 2.0, 7.0]])
+    st = replay_insert(cfg, st, ck)
+    # t=4, horizon=2 -> cols 0,1 active with their OWN priorities
+    prio = np.asarray(sum_tree.get(st.tree, jnp.arange(4)))
+    np.testing.assert_allclose(prio, [5.0, 3.0, 0.0, 0.0])
+    assert float(st.max_priority) == 5.0  # tracks inserted max
+    ck2 = _chunk(cfg, 4)
+    ck2["priority"] = jnp.array([[1.0, 1.0, 1.0, 1.0]])
+    st = replay_insert(cfg, st, ck2)
+    prio = np.asarray(sum_tree.get(st.tree, jnp.arange(8)))
+    np.testing.assert_allclose(prio, [5., 3., 2., 7., 1., 1., 0., 0.])
+    assert float(st.max_priority) == 7.0
