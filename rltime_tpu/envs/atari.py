@@ -121,7 +121,7 @@ class _AtariLane:
             self._screen(0)
             self._buf[1] = self._buf[0]
             frame = preprocess_frame(self._buf.max(axis=0))
-        return frame, total, terminated, truncated
+        return frame, total, terminated, truncated, game_over or truncated
 
 
 @register("atari")
@@ -148,9 +148,19 @@ class AtariVecEnv(VecEnv):
                             len(self._lanes[0].actions))
         self._pool = (ThreadPoolExecutor(num_threads)
                       if num_threads > 0 else None)
+        # True (unclipped, whole-game) episode scores — EpisodicLife
+        # makes per-`done` returns per-LIFE; learning curves compare on
+        # the real game score (SURVEY.md §5.5 scalar parity).
+        self._game_score = np.zeros((num_envs,), np.float64)
+        self.completed_scores: list = []
 
     def reset(self, seed: int = 0) -> np.ndarray:
+        self._game_score[:] = 0.0
         return np.stack([lane.reset_episode() for lane in self._lanes])
+
+    def pop_completed_scores(self):
+        s, self.completed_scores = self.completed_scores, []
+        return s
 
     def step(self, actions: np.ndarray):
         if self._pool is not None:
@@ -164,6 +174,11 @@ class AtariVecEnv(VecEnv):
         rew = np.array([r[1] for r in results], np.float32)
         term = np.array([r[2] for r in results], bool)
         trunc = np.array([r[3] for r in results], bool)
+        game_over = np.array([r[4] for r in results], bool)
+        self._game_score += rew
+        for i in np.nonzero(game_over)[0]:
+            self.completed_scores.append(float(self._game_score[i]))
+            self._game_score[i] = 0.0
         if self.clip_rewards:
             rew = np.sign(rew)
         return obs, rew, term, trunc

@@ -208,14 +208,30 @@ class ApexTrainer:
                     self.train_state.params)
         return metrics
 
+    def save_checkpoint(self):
+        """Lead-process checkpoint of the replicated learner state."""
+        if not self.is_lead:
+            return None
+        from rltime_tpu.training import checkpoint as ckpt_lib
+        host = dict(env_steps=self.actor.env_steps,
+                    updates=self.updates_done)
+        return ckpt_lib.save(self.logger.dir, self.global_env_steps,
+                             jax.device_get(self.train_state), host)
+
     def train(self):
         cfg = self.loop_cfg
         next_log = cfg.log_interval
+        next_ckpt = cfg.checkpoint_interval
         while self.global_env_steps < cfg.total_env_steps:
             metrics = self.train_chunk()
             if self.is_lead and self.global_env_steps >= next_log:
                 next_log = self.global_env_steps + cfg.log_interval
                 self._log(metrics)
+            if self.global_env_steps >= next_ckpt:
+                next_ckpt = (self.global_env_steps
+                             + cfg.checkpoint_interval)
+                self.save_checkpoint()
+        self.save_checkpoint()
         if self.logger is not None:
             self.logger.close()
         return self

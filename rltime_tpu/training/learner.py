@@ -55,6 +55,15 @@ class AlgoConfig:
     seq_len: int = 80
     eta: float = 0.9            # sequence priority max/mean mix
     value_rescale: bool = True
+    # lambda-return targets for the sequence path (SURVEY.md §0 item 3
+    # "n-step (and lambda-style) return computation"): Peng's Q(lambda)
+    # over the training window instead of per-step n-step targets.
+    use_lambda: bool = False
+    lambda_: float = 0.7
+    # debug: return sampled leaves + per-sample TD in metrics (the
+    # exact-numerics transcript harness reads these; costs one small
+    # D2H per update, so off by default)
+    debug_outputs: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -208,6 +217,10 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                        td_abs=jnp.mean(td_abs),
                        grad_norm=optax.global_norm(grads),
                        mean_weight=jnp.mean(idx["weight"]))
+        if algo_cfg.debug_outputs:
+            metrics["debug_leaf"] = idx["leaf"]
+            metrics["debug_td"] = td_abs
+            metrics["debug_action"] = batch["action"]
         return TrainState(params=params, target_params=target_params,
                           opt_state=opt_state, key=key, updates=upd), \
             rstate, metrics

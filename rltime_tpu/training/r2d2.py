@@ -111,22 +111,34 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         q_sa = jnp.take_along_axis(
             q_on[:, :L], actions[..., None], axis=-1)[..., 0]
 
-        # Per-step n-step targets inside the sequence.
-        # windows: rewards/boundary (B, L, n) built from (B, total).
         r_full = batch["reward"][:, burn:]               # (B, L+n)
         b_full = batch["boundary"][:, burn:]             # (B, L+n)
-        idx = (jnp.arange(L)[:, None] + jnp.arange(n)[None, :])
-        r_win = r_full[:, idx]                            # (B, L, n)
-        b_win = b_full[:, idx]
-        rew_n, disc_n = returns.nstep_return(r_win, b_win, gamma)
-
-        q_on_next = jax.lax.stop_gradient(q_on[:, n:n + L])  # (B, L, A)
-        q_tg_next = q_tg[:, n:n + L]
-        a_star = jnp.argmax(q_on_next if algo_cfg.double_q else
-                            q_tg_next, axis=-1)
-        boot = jnp.take_along_axis(
-            q_tg_next, a_star[..., None], axis=-1)[..., 0]
-        target = h(rew_n + disc_n * h_inv(boot))
+        if algo_cfg.use_lambda:
+            # Peng's Q(lambda) over the training window (SURVEY.md §0
+            # item 3): G_t = r_t + gamma(1-term)[(1-lam) V_{t+1}
+            # + lam G_{t+1}], V from the (double-Q) target net.
+            q_on_nx = jax.lax.stop_gradient(q_on[:, 1:1 + L])
+            q_tg_nx = q_tg[:, 1:1 + L]
+            a_star = jnp.argmax(q_on_nx if algo_cfg.double_q else
+                                q_tg_nx, axis=-1)
+            v_next = h_inv(jnp.take_along_axis(
+                q_tg_nx, a_star[..., None], axis=-1)[..., 0])
+            target = h(returns.lambda_returns(
+                r_full[:, :L], b_full[:, :L], v_next, gamma,
+                algo_cfg.lambda_))
+        else:
+            # Per-step n-step targets inside the sequence:
+            # windows (B, L, n) built from the (B, L+n) strips.
+            idx = (jnp.arange(L)[:, None] + jnp.arange(n)[None, :])
+            rew_n, disc_n = returns.nstep_return(
+                r_full[:, idx], b_full[:, idx], gamma)
+            q_on_next = jax.lax.stop_gradient(q_on[:, n:n + L])
+            q_tg_next = q_tg[:, n:n + L]
+            a_star = jnp.argmax(q_on_next if algo_cfg.double_q else
+                                q_tg_next, axis=-1)
+            boot = jnp.take_along_axis(
+                q_tg_next, a_star[..., None], axis=-1)[..., 0]
+            target = h(rew_n + disc_n * h_inv(boot))
         target = jax.lax.stop_gradient(target)
 
         td = target - q_sa                                # (B, L)
@@ -201,6 +213,9 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         metrics = dict(loss=loss, q=qm, td_abs=jnp.mean(prio),
                        grad_norm=optax.global_norm(grads),
                        mean_weight=jnp.mean(idx["weight"]))
+        if algo_cfg.debug_outputs:
+            metrics["debug_leaf"] = idx["leaf"]
+            metrics["debug_td"] = prio
         return TrainState(params=params, target_params=target_params,
                           opt_state=opt_state, key=key, updates=upd), \
             rstate, metrics

@@ -48,6 +48,12 @@ class TrainLoopConfig:
     checkpoint_interval: int = 50_000
     checkpoint_replay: bool = False
     resume: bool = False
+    # exact-numerics transcript (utils/transcript.py): record actions,
+    # sampled leaves, and |TD| digests every chunk.
+    record_transcript: bool = False
+    # jax.profiler trace dir ("" = off); phase timers are always on.
+    profile_dir: str = ""
+    profile_port: int = 0            # >0: start jax.profiler server
 
 
 def _mk_model_cfg(model: Dict[str, Any], num_actions: int) -> ModelConfig:
@@ -73,6 +79,12 @@ class Trainer:
                                        spec.num_actions)
         self.algo_cfg = AlgoConfig(**config.get("algo", {}))
         self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
+        self.transcript = None
+        if self.loop_cfg.record_transcript:
+            from rltime_tpu.utils.transcript import Transcript
+            self.algo_cfg = dataclasses.replace(self.algo_cfg,
+                                                debug_outputs=True)
+            self.transcript = Transcript()
 
         if self.algo_cfg.algo == "r2d2":
             from rltime_tpu.training.r2d2 import r2d2_horizon
@@ -143,6 +155,11 @@ class Trainer:
             upd = make_multi_update_step(upd, k)
         self._update = jax.jit(upd, donate_argnums=(0, 1))
 
+        from rltime_tpu.utils.profiling import PhaseTimers, start_server
+        self.timers = PhaseTimers()
+        if self.loop_cfg.profile_port > 0:
+            start_server(self.loop_cfg.profile_port)
+
         self.logger = logger or RunLogger(result_dir, config)
         self.metrics_acc: Dict[str, float] = {}
         self.updates_done = 0
@@ -191,30 +208,48 @@ class Trainer:
 
     def train_chunk(self):
         """One acting chunk + its learner updates. Returns metrics."""
-        chunk, act_info = self.actor.rollout(self.train_state.params)
-        self.replay_state = replay_insert(self.replay_cfg,
-                                          self.replay_state, chunk)
+        with self.timers.phase("act"):
+            chunk, act_info = self.actor.rollout(self.train_state.params)
+        with self.timers.phase("insert"):
+            self.replay_state = replay_insert(self.replay_cfg,
+                                              self.replay_state, chunk)
         metrics = {}
         if self.actor.env_steps >= self.loop_cfg.warmup_env_steps:
             beta = jnp.float32(self._beta())
-            self.train_state, self.replay_state, metrics = \
-                self._update(self.train_state, self.replay_state, beta)
+            with self.timers.phase("update"):
+                self.train_state, self.replay_state, metrics = \
+                    self._update(self.train_state, self.replay_state,
+                                 beta)
             self.updates_done += self.loop_cfg.updates_per_chunk
+        if self.transcript is not None:
+            self.transcript.record_chunk(self.actor.env_steps,
+                                         chunk["action"], metrics)
         return metrics, act_info
 
     def train(self):
+        import contextlib
         cfg = self.loop_cfg
+        profile_ctx = contextlib.nullcontext()
+        if cfg.profile_dir:
+            from rltime_tpu.utils.profiling import trace
+            profile_ctx = trace(cfg.profile_dir)
         next_log = self.actor.env_steps + cfg.log_interval
         next_ckpt = self.actor.env_steps + cfg.checkpoint_interval
-        while self.actor.env_steps < cfg.total_env_steps:
-            metrics, _ = self.train_chunk()
-            if self.actor.env_steps >= next_log:
-                next_log = self.actor.env_steps + cfg.log_interval
-                self._log(metrics)
-            if self.actor.env_steps >= next_ckpt:
-                next_ckpt = self.actor.env_steps + cfg.checkpoint_interval
-                self.save_checkpoint()
+        with profile_ctx:
+            while self.actor.env_steps < cfg.total_env_steps:
+                metrics, _ = self.train_chunk()
+                if self.actor.env_steps >= next_log:
+                    next_log = self.actor.env_steps + cfg.log_interval
+                    self._log(metrics)
+                if self.actor.env_steps >= next_ckpt:
+                    next_ckpt = (self.actor.env_steps
+                                 + cfg.checkpoint_interval)
+                    self.save_checkpoint()
         self.save_checkpoint()
+        if self.transcript is not None:
+            import os
+            self.transcript.dump(os.path.join(self.result_dir,
+                                              "transcript.jsonl"))
         self.logger.close()
         return self
 
@@ -232,8 +267,17 @@ class Trainer:
             scalars["episode_return_mean"] = float(np.mean(rets))
             scalars["episode_return_median"] = float(np.median(rets))
             scalars["episode_len_mean"] = float(np.mean(lens))
+        if hasattr(self.env, "pop_completed_scores"):
+            scores = self.env.pop_completed_scores()
+            if scores:
+                scalars["episode_score_mean"] = float(np.mean(scores))
+                scalars["episode_score_median"] = float(
+                    np.median(scores))
+        for name, secs in self.timers.pop().items():
+            scalars[f"time/{name}_s"] = secs
         for k, v in metrics.items():
-            scalars[f"train/{k}"] = float(v)
+            if not k.startswith("debug_"):
+                scalars[f"train/{k}"] = float(v)
         self.logger.log_scalars(steps, scalars)
         self.logger.summary(steps, {k: v for k, v in scalars.items()
                                     if k != "env_steps"})

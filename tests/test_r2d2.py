@@ -150,3 +150,40 @@ def test_value_rescale_targets_change_loss(key):
     _, _, m1 = u1(ts, rstate, jnp.float32(0.4))
     _, _, m2 = u2(ts, rstate, jnp.float32(0.4))
     assert float(m1["loss"]) != pytest.approx(float(m2["loss"]))
+
+
+def test_lambda_lam0_equals_1step_nstep(key):
+    """Q(lambda) with lam=0 and the n-step path with n=1 produce the
+    SAME loss on the same sampled batch (same key stream)."""
+    import dataclasses as dc
+    mcfg, acfg, _ = _cfgs(value_rescale=False)
+    a_lam = dc.replace(acfg, n_step=1, use_lambda=True, lambda_=0.0)
+    a_n = dc.replace(acfg, n_step=1, use_lambda=False)
+    rcfg = ReplayConfig(num_envs=E, steps_per_env=T,
+                        horizon=r2d2_horizon(a_lam), chunk_len=L_CHUNK,
+                        prioritized=True)
+    rstate = _fill(rcfg)
+    ts = make_train_state(mcfg, a_lam, key, jnp.zeros((1, 4)))
+    u1 = jax.jit(make_r2d2_update_step(mcfg, a_lam, rcfg, 1, True))
+    u2 = jax.jit(make_r2d2_update_step(mcfg, a_n, rcfg, 1, True))
+    _, _, m1 = u1(ts, rstate, jnp.float32(0.4))
+    _, _, m2 = u2(ts, rstate, jnp.float32(0.4))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                              rel=1e-6)
+
+
+def test_lambda_targets_differ_for_positive_lam(key):
+    import dataclasses as dc
+    mcfg, acfg, _ = _cfgs(value_rescale=False)
+    a_lam = dc.replace(acfg, n_step=1, use_lambda=True, lambda_=0.9)
+    a_n = dc.replace(acfg, n_step=1, use_lambda=False)
+    rcfg = ReplayConfig(num_envs=E, steps_per_env=T,
+                        horizon=r2d2_horizon(a_lam), chunk_len=L_CHUNK,
+                        prioritized=True)
+    rstate = _fill(rcfg)
+    ts = make_train_state(mcfg, a_lam, key, jnp.zeros((1, 4)))
+    u1 = jax.jit(make_r2d2_update_step(mcfg, a_lam, rcfg, 1, True))
+    u2 = jax.jit(make_r2d2_update_step(mcfg, a_n, rcfg, 1, True))
+    _, _, m1 = u1(ts, rstate, jnp.float32(0.4))
+    _, _, m2 = u2(ts, rstate, jnp.float32(0.4))
+    assert float(m1["loss"]) != pytest.approx(float(m2["loss"]))
