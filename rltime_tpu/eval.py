@@ -12,7 +12,8 @@ import sys
 
 
 def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
-             seed: int = 1234, max_steps: int = 200_000):
+             seed: int = 1234, max_steps: int = 200_000,
+             record_path: str = ""):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,11 +45,31 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
     params = restored["train_state"]["params"]
     # orbax returns plain dicts; flax accepts dict params directly.
 
+    frames = [] if record_path else None
     steps = 0
     while (len(actor.completed_returns) < episodes
            and steps < max_steps):
-        actor.rollout(params, num_steps=64)
+        chunk, _ = actor.rollout(params, num_steps=64)
+        if frames is not None and len(env.spec.obs_shape) >= 2:
+            # record lane 0's raw obs stream (SURVEY.md §3.4
+            # render/record of a saved policy, headless variant).
+            frames.append(np.asarray(chunk["obs"][0]))
         steps += 64 * env.num_envs
+    if frames is not None and frames:
+        video = np.concatenate(frames, axis=0)
+        np.savez_compressed(record_path, frames=video)
+        try:
+            import cv2
+            vpath = record_path.rsplit(".", 1)[0] + ".mp4"
+            h, w = video.shape[1:3]
+            wr = cv2.VideoWriter(vpath,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 30, (w, h), isColor=False)
+            for f in video:
+                wr.write(f.astype(np.uint8))
+            wr.release()
+        except Exception:
+            pass  # npz always written; mp4 best-effort
     rets, lens = actor.episode_stats()
     rets = rets[:episodes]
     report = dict(
@@ -67,12 +88,16 @@ def main(argv=None):
     parser.add_argument("result_dir")
     parser.add_argument("--episodes", type=int, default=10)
     parser.add_argument("--eps", type=float, default=1e-3)
+    parser.add_argument("--record", default="",
+                        help="path.npz: record lane-0 obs frames "
+                             "(+ best-effort .mp4) for image envs")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    report = evaluate(args.result_dir, args.episodes, args.eps)
+    report = evaluate(args.result_dir, args.episodes, args.eps,
+                      record_path=args.record)
     print(json.dumps(report))
     return 0
 

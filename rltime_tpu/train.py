@@ -23,14 +23,23 @@ def main(argv=None):
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (8 virtual devices)")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--cache-dir",
+                        default=os.path.expanduser(
+                            "~/.cache/rltime_tpu_jax"),
+                        help="jax persistent compile cache ('' = off)")
     args, overrides = parser.parse_known_args(argv)
 
+    import jax
     if args.cpu:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8").strip()
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
 
     from rltime_tpu.config.config import apply_overrides, load_config
     from rltime_tpu.training.trainer import Trainer

@@ -54,6 +54,10 @@ class TrainLoopConfig:
     # jax.profiler trace dir ("" = off); phase timers are always on.
     profile_dir: str = ""
     profile_port: int = 0            # >0: start jax.profiler server
+    # async acting (acting/pool.py): background rollout thread; trades
+    # exact-seed reproducibility for host/device overlap.
+    async_acting: bool = False
+    publish_interval: int = 1        # chunks between weight publishes
 
 
 def _mk_model_cfg(model: Dict[str, Any], num_actions: int) -> ModelConfig:
@@ -155,6 +159,12 @@ class Trainer:
             upd = make_multi_update_step(upd, k)
         self._update = jax.jit(upd, donate_argnums=(0, 1))
 
+        self.pool = None
+        if self.loop_cfg.async_acting:
+            from rltime_tpu.acting.pool import AsyncActorPool
+            self.pool = AsyncActorPool(self.actor,
+                                       self.train_state.params)
+
         from rltime_tpu.utils.profiling import PhaseTimers, start_server
         self.timers = PhaseTimers()
         if self.loop_cfg.profile_port > 0:
@@ -209,7 +219,11 @@ class Trainer:
     def train_chunk(self):
         """One acting chunk + its learner updates. Returns metrics."""
         with self.timers.phase("act"):
-            chunk, act_info = self.actor.rollout(self.train_state.params)
+            if self.pool is not None:
+                chunk, act_info = self.pool.get_chunk()
+            else:
+                chunk, act_info = self.actor.rollout(
+                    self.train_state.params)
         with self.timers.phase("insert"):
             self.replay_state = replay_insert(self.replay_cfg,
                                               self.replay_state, chunk)
@@ -221,6 +235,10 @@ class Trainer:
                     self._update(self.train_state, self.replay_state,
                                  beta)
             self.updates_done += self.loop_cfg.updates_per_chunk
+            if self.pool is not None:
+                self._pub_count = getattr(self, "_pub_count", 0) + 1
+                if self._pub_count % self.loop_cfg.publish_interval == 0:
+                    self.pool.set_params(self.train_state.params)
         if self.transcript is not None:
             self.transcript.record_chunk(self.actor.env_steps,
                                          chunk["action"], metrics)
@@ -245,6 +263,8 @@ class Trainer:
                     next_ckpt = (self.actor.env_steps
                                  + cfg.checkpoint_interval)
                     self.save_checkpoint()
+        if self.pool is not None:
+            self.pool.close()
         self.save_checkpoint()
         if self.transcript is not None:
             import os

@@ -145,3 +145,14 @@ def test_fused_multi_update_matches_loop(tmp_path):
     assert t1.updates_done == t2.updates_done
     assert _weight_checksum(t1.train_state.params) == \
         _weight_checksum(t2.train_state.params)
+
+
+def test_async_acting_pool(tmp_path):
+    """Background actor thread feeds the learner through the bounded
+    queue; run completes and learns update-count parity."""
+    cfg = _tiny_cfg()
+    cfg["train"]["async_acting"] = True
+    cfg["train"]["publish_interval"] = 2
+    t = Trainer(cfg, str(tmp_path / "async")).train()
+    assert t.updates_done > 0
+    assert t.actor.env_steps >= 600
