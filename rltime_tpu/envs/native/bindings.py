@@ -28,17 +28,25 @@ def library_path() -> str:
     return _LIB_PATH
 
 
-def build_library(force: bool = False) -> str:
+def build_library(force: bool = False, tsan: bool = False) -> str:
+    """Build the stepper .so; tsan=True builds a ThreadSanitizer
+    variant (SURVEY.md §5.2: the host-side lane pool is the only
+    first-party threaded code — its races are checked here, not at the
+    XLA level where execution is single-logical-thread per device)."""
     src = os.path.join(_DIR, "stepper.cpp")
+    out = (_LIB_PATH.replace(".so", "_tsan.so") if tsan else _LIB_PATH)
     with _LOCK:
-        if force or (not os.path.exists(_LIB_PATH)
-                     or os.path.getmtime(_LIB_PATH)
+        if force or (not os.path.exists(out)
+                     or os.path.getmtime(out)
                      < os.path.getmtime(src)):
             os.makedirs(_BUILD_DIR, exist_ok=True)
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", "-pthread", src, "-o", _LIB_PATH]
+                   "-std=c++17", "-pthread"]
+            if tsan:
+                cmd += ["-fsanitize=thread", "-g"]
+            cmd += [src, "-o", out]
             subprocess.run(cmd, check=True, capture_output=True)
-    return _LIB_PATH
+    return out
 
 
 def _load():

@@ -81,3 +81,45 @@ def test_registry_buildable():
     env = build({"type": "cartpole_native", "num_envs": 4})
     env.reset(0)
     env.close()
+
+
+def test_tsan_build_clean():
+    """ThreadSanitizer build of the lane pool steps cleanly
+    (SURVEY.md §5.2). Runs the threaded step path under TSan in a
+    subprocess; any reported race fails via non-zero exit."""
+    import ctypes
+    import subprocess
+    import sys
+    from rltime_tpu.envs.native.bindings import build_library
+    lib = build_library(tsan=True)
+    code = f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({lib!r})
+lib.cartpole_create.restype = ctypes.c_void_p
+lib.cartpole_create.argtypes = [ctypes.c_int32, ctypes.c_uint64,
+                                ctypes.c_int32, ctypes.c_int32]
+h = lib.cartpole_create(256, 0, 2, 500)
+E = 256
+obs = np.empty((E,4), np.float32); rew = np.empty(E, np.float32)
+term = np.empty(E, np.uint8); trunc = np.empty(E, np.uint8)
+a = np.random.randint(0,2,E).astype(np.int32)
+p = lambda x: x.ctypes.data_as(ctypes.c_void_p)
+for _ in range(200):
+    lib.cartpole_step(ctypes.c_void_p(h), p(a), p(obs), p(rew),
+                      p(term), p(trunc))
+lib.cartpole_destroy(ctypes.c_void_p(h))
+print("tsan run done")
+"""
+    import glob
+    tsan_so = (glob.glob("/lib/x86_64-linux-gnu/libtsan.so.*")
+               + glob.glob("/usr/lib/x86_64-linux-gnu/libtsan.so.*"))
+    if not tsan_so:
+        pytest.skip("libtsan runtime not found")
+    # LD_PRELOAD: tsan cannot be dlopen'd late (static TLS exhaustion)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True,
+                       env={"TSAN_OPTIONS": "exitcode=66",
+                            "LD_PRELOAD": tsan_so[0],
+                            "PATH": "/usr/bin:/bin"})
+    assert "tsan run done" in r.stdout, r.stderr[-2000:]
+    assert r.returncode == 0, r.stderr[-2000:]
