@@ -39,16 +39,24 @@ class ActorDeviceState(struct.PyTreeNode):
     frames: jnp.ndarray      # (E, F, ...) rolling frame stack (F>=1)
     rnn: tuple               # LSTM carry ((c, h) or ())
     key: jnp.ndarray         # PRNG key for exploration + IQN taus
+    obs_chunk: jnp.ndarray   # (E, L, ...) device-side chunk obs
+                             # accumulator ((E, 0) dummy if unused) —
+                             # raw frames transfer H2D ONCE and are
+                             # inserted into replay straight from here
 
 
 def init_actor_state(cfg: ModelConfig, num_envs: int, frame_stack: int,
-                     obs_shape, obs_dtype, key) -> ActorDeviceState:
+                     obs_shape, obs_dtype, key,
+                     chunk_len: int = 0) -> ActorDeviceState:
     frames = jnp.zeros((num_envs, frame_stack) + tuple(obs_shape),
                        dtype=obs_dtype)
+    obs_chunk = jnp.zeros((num_envs, chunk_len) + tuple(obs_shape),
+                          dtype=obs_dtype)
     return ActorDeviceState(
         frames=frames,
         rnn=initial_rnn_state(cfg, num_envs),
         key=key,
+        obs_chunk=obs_chunk,
     )
 
 
@@ -62,9 +70,10 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
     """
     model = make_model(cfg)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def act_step(params, state: ActorDeviceState, obs: jnp.ndarray,
-                 done_prev: jnp.ndarray, eps: jnp.ndarray):
+                 done_prev: jnp.ndarray, eps: jnp.ndarray,
+                 t_in_chunk: jnp.ndarray):
         """One lockstep policy step.
 
         Args:
@@ -72,6 +81,7 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
             first obs of a new episode where done_prev).
           done_prev: (E,) bool — previous step ended the episode.
           eps: (E,) per-lane exploration epsilon.
+          t_in_chunk: scalar — column of the chunk accumulator to fill.
         Returns (actions (E,) int32, new_state, info dict).
         """
         E = obs.shape[0]
@@ -81,6 +91,12 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
         frames = state.frames * keep.astype(state.frames.dtype)
         frames = jnp.concatenate(
             [frames[:, 1:], obs[:, None].astype(frames.dtype)], axis=1)
+
+        obs_chunk = state.obs_chunk
+        if obs_chunk.shape[1] > 0:
+            obs_chunk = jax.lax.dynamic_update_slice(
+                obs_chunk, obs[:, None].astype(obs_chunk.dtype),
+                (0, t_in_chunk) + (0,) * (obs.ndim - 1))
 
         # Recurrent reset on episode boundary.
         rnn = state.rnn
@@ -108,7 +124,8 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
         q_sa = jnp.take_along_axis(qv, actions[:, None], axis=-1)[:, 0]
         q_best = jnp.max(qv, axis=-1)
         info = dict(q_mean=jnp.mean(qv), q_max=jnp.mean(q_best))
-        new_state = ActorDeviceState(frames=frames, rnn=rnn, key=key)
+        new_state = ActorDeviceState(frames=frames, rnn=rnn, key=key,
+                                     obs_chunk=obs_chunk)
         return actions, new_state, info, stored_rnn, q_sa, q_best
 
     return act_step
@@ -138,13 +155,16 @@ class Actor:
         self.compute_priorities = compute_priorities
         self.gamma = gamma
         self._pending = None
+        # Device-side obs chunk accumulation (one H2D per frame instead
+        # of two): on unless priorities delay emission by one step.
+        self.device_obs_chunk = not compute_priorities
         flatten = len(env.spec.obs_shape) == 1
         self.flatten_stack = flatten
         self._act_step = make_act_step(cfg, frame_stack, flatten)
         self.state = init_actor_state(
             cfg, env.num_envs, frame_stack, env.spec.obs_shape,
             jnp.uint8 if env.spec.obs_dtype == np.uint8 else jnp.float32,
-            key)
+            key, chunk_len=chunk_len if self.device_obs_chunk else 0)
         self.obs = env.reset()
         self.done_prev = np.ones((env.num_envs,), bool)  # stack starts empty
         self.env_steps = 0
@@ -169,7 +189,9 @@ class Actor:
         L = num_steps or self.chunk_len
         E = self.env.num_envs
         spec = self.env.spec
-        obs_buf = np.empty((E, L) + spec.obs_shape, spec.obs_dtype)
+        use_dev_obs = self.device_obs_chunk and L == self.chunk_len
+        obs_buf = (None if use_dev_obs else
+                   np.empty((E, L) + spec.obs_shape, spec.obs_dtype))
         act_buf = np.empty((E, L), np.int32)
         rew_buf = np.empty((E, L), np.float32)
         term_buf = np.empty((E, L), bool)
@@ -183,7 +205,8 @@ class Actor:
         def emit(tr, prio=None):
             nonlocal emitted
             i = emitted
-            obs_buf[:, i] = tr["obs"]
+            if obs_buf is not None:
+                obs_buf[:, i] = tr["obs"]
             act_buf[:, i] = tr["action"]
             rew_buf[:, i] = tr["reward"]
             term_buf[:, i] = tr["terminated"]
@@ -198,7 +221,9 @@ class Actor:
             eps = self.exploration.epsilons(E, self.env_steps)
             (actions, self.state, info, stored_rnn, q_sa,
              q_best) = self._act_step(params, self.state, self.obs,
-                                      self.done_prev, jnp.asarray(eps))
+                                      self.done_prev, jnp.asarray(eps),
+                                      jnp.int32(emitted if use_dev_obs
+                                                else 0))
             if self.compute_priorities and self._pending is not None:
                 p = self._pending
                 td = np.abs(p["reward"]
@@ -230,7 +255,13 @@ class Actor:
             self.env_steps += E
             q_mean = info["q_mean"]
 
-        chunk = dict(obs=obs_buf, action=act_buf, reward=rew_buf,
+        if use_dev_obs:
+            # Copy out of the (donated) accumulator so the next chunk's
+            # in-place updates cannot race a pending async insert.
+            chunk_obs = jnp.copy(self.state.obs_chunk)
+        else:
+            chunk_obs = obs_buf
+        chunk = dict(obs=chunk_obs, action=act_buf, reward=rew_buf,
                      terminated=term_buf, done=done_buf)
         if prio_buf is not None:
             chunk["priority"] = prio_buf

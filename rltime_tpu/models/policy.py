@@ -111,8 +111,10 @@ def initial_rnn_state(cfg: ModelConfig, batch: int):
     """Zero LSTM carry (c, h), or () for feed-forward policies."""
     if not cfg.recurrent:
         return ()
-    z = jnp.zeros((batch, cfg.lstm_size), jnp.float32)
-    return (z, z)
+    # Distinct buffers: (z, z) would alias c and h, which breaks
+    # donation (same buffer donated twice).
+    return (jnp.zeros((batch, cfg.lstm_size), jnp.float32),
+            jnp.zeros((batch, cfg.lstm_size), jnp.float32))
 
 
 def init_params(cfg: ModelConfig, key, example_obs):
