@@ -137,6 +137,16 @@ class ApexTrainer:
             self.loop_cfg.chunk_len,
             compute_priorities=self.replay_cfg.use_inserted_priorities,
             gamma=self.algo_cfg.gamma)
+        if jax.process_count() > 1:
+            # multi-host insertion goes through
+            # make_array_from_process_local_data, which takes HOST
+            # arrays; keep the actor's obs chunk host-side there.
+            self.actor.device_obs_chunk = False
+            from rltime_tpu.acting.actor import init_actor_state
+            self.actor.state = init_actor_state(
+                self.model_cfg, self.env.num_envs, self.frame_stack,
+                spec.obs_shape,
+                obs_jdt, self.actor.state.key, chunk_len=0)
         self.flatten = len(spec.obs_shape) == 1
 
         if self.flatten:
@@ -187,9 +197,13 @@ class ApexTrainer:
         """Per-process local lanes -> globally sharded arrays."""
         out = {}
         for k, v in chunk.items():
-            arr = np.asarray(v)
-            out[k] = jax.make_array_from_process_local_data(
-                self._chunk_sharding, arr)
+            if isinstance(v, jax.Array) and jax.process_count() == 1:
+                # device-resident chunk (actor obs accumulator / LSTM
+                # states): reshard device-to-device, no host bounce.
+                out[k] = jax.device_put(v, self._chunk_sharding)
+            else:
+                out[k] = jax.make_array_from_process_local_data(
+                    self._chunk_sharding, np.asarray(v))
         return out
 
     def train_chunk(self):

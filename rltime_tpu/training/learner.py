@@ -42,6 +42,9 @@ class AlgoConfig:
     huber_kappa: float = 1.0
     lr: float = 1e-4
     adam_eps: float = 1e-8
+    optimizer: str = "adam"        # "adam" | "rmsprop" (centered, the
+                                   # Ape-X/Nature-DQN choice)
+    rmsprop_decay: float = 0.95
     grad_clip: float = 10.0
     target_update_freq: int = 500  # in learner updates
     # PER importance-sampling beta anneal (host passes beta per call)
@@ -75,7 +78,13 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: AlgoConfig):
-    tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
+    if cfg.optimizer == "adam":
+        tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
+    elif cfg.optimizer == "rmsprop":
+        tx = optax.rmsprop(cfg.lr, decay=cfg.rmsprop_decay,
+                           eps=cfg.adam_eps, centered=True)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx

@@ -156,3 +156,10 @@ def test_async_acting_pool(tmp_path):
     t = Trainer(cfg, str(tmp_path / "async")).train()
     assert t.updates_done > 0
     assert t.actor.env_steps >= 600
+
+
+def test_rmsprop_optimizer(tmp_path):
+    cfg = _tiny_cfg()
+    cfg["algo"]["optimizer"] = "rmsprop"
+    t = Trainer(cfg, str(tmp_path / "rms")).train()
+    assert t.updates_done > 0

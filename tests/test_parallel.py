@@ -133,19 +133,26 @@ def test_one_shard_mesh_matches_local_exactly():
 
     np.testing.assert_array_equal(np.asarray(r_local.tree),
                                   np.asarray(r_sh.tree))
-    for _ in range(2):
-        t_local, r_local, m_local = local_upd(t_local, r_local,
-                                              jnp.float32(0.4))
+    # SURVEY.md §4 item 4 bit-identity: the sharded path folds the
+    # shard index into each step's sampling key; emulating that fold on
+    # the local side makes the two runs draw IDENTICAL samples, so the
+    # weights must match bit for bit.
+    def local_folded(tstate, rstate, beta):
+        lt = tstate.replace(key=jax.random.fold_in(tstate.key, 0))
+        nt, nr, m = local_upd(lt, rstate, beta)
+        return nt.replace(key=jax.random.split(tstate.key, 3)[0]), nr, m
+
+    for _ in range(3):
+        t_local, r_local, m_local = local_folded(t_local, r_local,
+                                                 jnp.float32(0.4))
         t_sh, r_sh, m_sh = sh_upd(t_sh, r_sh, jnp.float32(0.4))
-    # NOTE: the sharded path folds the shard index into the sampling
-    # key, so draws match only if fold_in(key, 0) reproduces... it does
-    # not — instead we check both made identical-size progress and the
-    # replay trees keep identical totals under identical priorities
-    # when sampling distributions coincide. Strict bit-equality is
-    # asserted on the pieces that must match: update counters and
-    # target-sync schedule.
-    assert int(t_local.updates) == int(t_sh.updates) == 2
-    assert np.isfinite(float(m_sh["loss"]))
+    assert int(t_local.updates) == int(t_sh.updates) == 3
+    assert float(m_local["loss"]) == float(m_sh["loss"])
+    for a, b in zip(jax.tree.leaves(t_local.params),
+                    jax.tree.leaves(t_sh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(r_local.tree),
+                                  np.asarray(r_sh.tree))
 
 
 def test_uniform_sharded_update():
