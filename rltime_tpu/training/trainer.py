@@ -121,12 +121,22 @@ class Trainer:
 
         exploration = build(config.get(
             "exploration", {"type": "epsilon_greedy"}))
-        self.actor = Actor(
-            self.env, self.model_cfg, self.frame_stack,
-            exploration, fold_in_str(root, "actor"),
-            self.loop_cfg.chunk_len,
-            compute_priorities=self.replay_cfg.use_inserted_priorities,
-            gamma=self.algo_cfg.gamma)
+        if getattr(self.env, "is_device", False):
+            from rltime_tpu.acting.device_actor import DeviceActor
+            if self.frame_stack != 1:
+                raise ValueError("device envs are vector-obs; "
+                                 "frame_stack must be 1")
+            self.actor = DeviceActor(
+                self.env.inner, self.env.num_envs, self.model_cfg,
+                exploration, fold_in_str(root, "actor"),
+                self.loop_cfg.chunk_len)
+        else:
+            self.actor = Actor(
+                self.env, self.model_cfg, self.frame_stack,
+                exploration, fold_in_str(root, "actor"),
+                self.loop_cfg.chunk_len,
+                compute_priorities=self.replay_cfg.use_inserted_priorities,
+                gamma=self.algo_cfg.gamma)
         self.flatten = len(spec.obs_shape) == 1
 
         # learner state + jitted update

@@ -1,0 +1,108 @@
+"""Device-resident env + fused on-device acting loop tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rltime_tpu.envs.cartpole import CartPoleVecEnv
+from rltime_tpu.envs.device import DeviceCartPole
+from rltime_tpu.training.trainer import Trainer
+
+
+def test_device_dynamics_match_numpy_engine_exactly():
+    """Forced common state + same actions => identical next states
+    (both implement gymnasium's Euler integration)."""
+    rng = np.random.default_rng(0)
+    E = 64
+    s0 = rng.uniform(-0.05, 0.05, (E, 4))
+    ref = CartPoleVecEnv(E, seed=0)
+    ref._state = s0.copy()
+    dev = DeviceCartPole()
+    from rltime_tpu.envs.device import DeviceCartPoleState
+    dstate = DeviceCartPoleState(
+        s=jnp.array(s0, jnp.float32),
+        steps=jnp.zeros((E,), jnp.int32),
+        key=jax.random.key(0))
+    for t in range(30):
+        a = rng.integers(0, 2, E)
+        ro, rr, rterm, rtrunc = ref.step(a)
+        dstate, dr, dterm, dtrunc = dev.step(dstate, jnp.array(a))
+        do = dev.observe(dstate)
+        live = ~(rterm | rtrunc) & ~np.asarray(dterm | dtrunc)
+        np.testing.assert_array_equal(np.asarray(dterm), rterm)
+        # compare non-reset lanes (resets draw from different RNGs)
+        np.testing.assert_allclose(np.asarray(do)[live], ro[live],
+                                   rtol=2e-4, atol=2e-5)
+        # keep states aligned: overwrite reset lanes in both
+        both_done = rterm | rtrunc
+        if both_done.any():
+            fresh = rng.uniform(-0.05, 0.05, (both_done.sum(), 4))
+            ref._state[both_done] = fresh
+            s = np.array(dstate.s)  # writable copy
+            s[both_done] = fresh
+            dstate = dstate._replace(s=jnp.array(s, jnp.float32))
+
+
+def _dev_cfg(**over):
+    cfg = {
+        "seed": 0,
+        "env": {"type": "cartpole_device", "num_envs": 32},
+        "frame_stack": 1,
+        "model": {"torso": "mlp", "mlp_hidden": [32], "head": "linear"},
+        "replay": {"steps_per_env": 256, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 32, "n_step": 2,
+                 "double_q": True, "lr": 1e-3,
+                 "target_update_freq": 25},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 2000},
+        "train": {"total_env_steps": 4000, "warmup_env_steps": 600,
+                  "chunk_len": 16, "updates_per_chunk": 1,
+                  "log_interval": 10**9, "checkpoint_interval": 10**9},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def test_device_actor_full_loop(tmp_path):
+    t = Trainer(_dev_cfg(), str(tmp_path / "dev")).train()
+    assert t.updates_done > 0
+    rets, lens = t.actor.episode_stats()
+    assert rets, "no completed episodes recorded on device"
+    assert all(1 <= r <= 500 for r in rets)
+    assert all(l >= 1 for l in lens)
+
+
+def test_device_actor_stats_progression(tmp_path):
+    """Ring stats: count grows, pops don't repeat."""
+    t = Trainer(_dev_cfg(), str(tmp_path / "dev2"))
+    t.train_chunk()
+    t.train_chunk()
+    r1, _ = t.actor.episode_stats()
+    t.train_chunk()
+    t.train_chunk()
+    r2, _ = t.actor.episode_stats()
+    assert len(r1) > 0 and len(r2) > 0
+    # after clear, a fresh pop only returns NEW completions
+    r3, _ = t.actor.episode_stats()
+    assert r3 == []
+
+
+def test_device_actor_deterministic(tmp_path):
+    t1 = Trainer(_dev_cfg(), str(tmp_path / "a")).train()
+    t2 = Trainer(_dev_cfg(), str(tmp_path / "b")).train()
+    c1 = sum(float(jnp.sum(jnp.abs(l)))
+             for l in jax.tree.leaves(t1.train_state.params))
+    c2 = sum(float(jnp.sum(jnp.abs(l)))
+             for l in jax.tree.leaves(t2.train_state.params))
+    assert c1 == c2
+
+
+@pytest.mark.slow
+def test_device_cartpole_learns(tmp_path):
+    """Device-resident CartPole reaches the same learning bar."""
+    from rltime_tpu.config.config import load_config
+    cfg = load_config("cartpole_dqn_device")
+    cfg["train"]["log_interval"] = 10**9
+    t = Trainer(cfg, str(tmp_path / "dl")).train()
+    rets, _ = t.actor.episode_stats()
+    assert np.mean(rets[:20]) >= 400, np.mean(rets[:20])
