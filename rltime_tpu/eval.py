@@ -14,8 +14,8 @@ import sys
 def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
              seed: int = 1234, max_steps: int = 200_000,
              record_path: str = ""):
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from rltime_tpu.config.config import build

@@ -13,7 +13,7 @@ parallelism by design — parity with the reference, which has none).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

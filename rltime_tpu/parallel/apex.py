@@ -41,7 +41,7 @@ from rltime_tpu.acting.actor import Actor
 from rltime_tpu.config.config import build
 from rltime_tpu.exploration.epsilon import epsilon_ladder
 from rltime_tpu.history.replay import ReplayConfig
-from rltime_tpu.models.policy import ModelConfig
+
 from rltime_tpu.parallel.mesh import (
     make_mesh, make_sharded_insert, make_sharded_update_step,
     replay_partition_specs, sharded_replay_init,

@@ -24,7 +24,7 @@ distributed code, shard_map just changes what "E" means.
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -15,8 +15,8 @@ updates live in training/r2d2.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Tuple
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from rltime_tpu.history.replay import (
     ReplayConfig, ReplayState, frame_stack_gather, replay_gather_at,
     replay_gather_window, replay_sample_indices, replay_update_priorities,
 )
-from rltime_tpu.models.policy import ModelConfig, make_model, q_values
+from rltime_tpu.models.policy import ModelConfig, make_model
 from rltime_tpu.ops import losses, returns
 
 
