@@ -77,11 +77,13 @@ def main():
                      donate_argnums=(0, 1))
 
     beta = jnp.float32(0.4)
-    # compile + warmup
+    # compile + warmup. HARD host sync via D2H scalar pulls — on the
+    # tunneled backend block_until_ready can return before the queue
+    # drains, which inflates rates and leaves work in flight.
     tstate, rstate, metrics = update(tstate, rstate, beta)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
 
-    iters = 200
+    iters = 100
     # Pregenerate + pre-transfer insert chunks so the timed region
     # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
     # inserts), not host-side numpy RNG.
@@ -90,7 +92,7 @@ def main():
         {k: jnp.asarray(v) for k, v in chunk(100 + i).items()}
         for i in range(n_inserts)
     ]
-    jax.block_until_ready(device_chunks)
+    float(np.asarray(device_chunks[-1]["reward"][0, 0]))
 
     t0 = time.perf_counter()
     for i in range(iters):
@@ -98,7 +100,7 @@ def main():
             rstate = replay_insert(rcfg, rstate,
                                    device_chunks[i // 4])
         tstate, rstate, metrics = update(tstate, rstate, beta)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))   # drains the whole chain
     dt = time.perf_counter() - t0
 
     updates_per_s = iters / dt
