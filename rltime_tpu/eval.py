@@ -38,8 +38,15 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
         def epsilons(self, n, step):
             return np.full((n,), self.e, np.float32)
 
-    actor = Actor(env, model_cfg, int(cfg.get("frame_stack", 1)),
-                  _FixedEps(eps), jax.random.key(seed), chunk_len=64)
+    if getattr(env, "is_device", False):
+        from rltime_tpu.acting.device_actor import DeviceActor
+        actor = DeviceActor(env.inner, env.num_envs, model_cfg,
+                            _FixedEps(eps), jax.random.key(seed),
+                            chunk_len=64)
+    else:
+        actor = Actor(env, model_cfg, int(cfg.get("frame_stack", 1)),
+                      _FixedEps(eps), jax.random.key(seed),
+                      chunk_len=64)
 
     restored = ckpt_lib.restore(result_dir)
     params = restored["train_state"]["params"]
@@ -47,9 +54,12 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
 
     frames = [] if record_path else None
     steps = 0
-    while (len(actor.completed_returns) < episodes
-           and steps < max_steps):
+    collected = 0
+    while collected < episodes and steps < max_steps:
         chunk, _ = actor.rollout(params, num_steps=64)
+        collected = (len(actor.completed_returns)
+                     if hasattr(actor, "completed_returns")
+                     else int(actor.state.ring_cursor))
         if frames is not None and len(env.spec.obs_shape) >= 2:
             # record lane 0's raw obs stream (SURVEY.md §3.4
             # render/record of a saved policy, headless variant).

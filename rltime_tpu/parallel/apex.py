@@ -179,6 +179,8 @@ class ApexTrainer:
                        if self.is_lead else None)
         self._steps_at_last_log = 0
         self._time_at_last_log = time.time()
+        if self.loop_cfg.resume:
+            self.try_resume()
 
     @property
     def global_env_steps(self) -> int:
@@ -231,6 +233,28 @@ class ApexTrainer:
                     updates=self.updates_done)
         return ckpt_lib.save(self.logger.dir, self.global_env_steps,
                              jax.device_get(self.train_state), host)
+
+    def try_resume(self):
+        """Resume learner state from the lead process's result dir;
+        every process restores then re-replicates over the mesh."""
+        if self.logger is None:
+            return False
+        from jax.sharding import NamedSharding, PartitionSpec
+        from rltime_tpu.training import checkpoint as ckpt_lib
+        step = ckpt_lib.latest_step(self.logger.dir)
+        if step is None:
+            return False
+        example = {"train_state": jax.device_get(self.train_state),
+                   "host_state": dict(env_steps=0, updates=0)}
+        restored = ckpt_lib.restore(self.logger.dir, step, example)
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        self.train_state = jax.device_put(restored["train_state"], rep)
+        self.actor.env_steps = int(
+            restored["host_state"]["env_steps"])
+        self.updates_done = int(restored["host_state"]["updates"])
+        self._actor_params = jax.device_get(self.train_state.params)
+        print(f"apex: resumed from checkpoint at step {step}")
+        return True
 
     def train(self):
         cfg = self.loop_cfg

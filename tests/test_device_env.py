@@ -99,10 +99,13 @@ def test_device_actor_deterministic(tmp_path):
 
 @pytest.mark.slow
 def test_device_cartpole_learns(tmp_path):
-    """Device-resident CartPole reaches the same learning bar."""
+    """Device-resident CartPole reaches the same learning bar
+    (greedy eval — training-tail episodes mix exploration churn)."""
     from rltime_tpu.config.config import load_config
+    from rltime_tpu.eval import evaluate
     cfg = load_config("cartpole_dqn_device")
     cfg["train"]["log_interval"] = 10**9
-    t = Trainer(cfg, str(tmp_path / "dl")).train()
-    rets, _ = t.actor.episode_stats()
-    assert np.mean(rets[:20]) >= 400, np.mean(rets[:20])
+    d = str(tmp_path / "dl")
+    Trainer(cfg, d).train()
+    rep = evaluate(d, episodes=10, max_steps=100_000)
+    assert rep["return_mean"] >= 475, rep

@@ -113,13 +113,15 @@ def test_scalars_logged(tmp_path):
 
 @pytest.mark.slow
 def test_cartpole_learns(tmp_path):
-    """[BJ] config #1 parity bar: CartPole reaches >= 475."""
+    """[BJ] config #1 parity bar: CartPole reaches >= 475 under the
+    GREEDY policy (training-tail episodes mix in exploration churn)."""
+    from rltime_tpu.eval import evaluate
     cfg = load_config("cartpole_dqn")
     cfg = apply_overrides(cfg, ["train.log_interval=100000000"])
-    t = Trainer(cfg, str(tmp_path / "cp")).train()
-    rets, _ = t.actor.episode_stats()
-    tail = rets[-20:]
-    assert np.mean(tail) >= 475, np.mean(tail)
+    d = str(tmp_path / "cp")
+    Trainer(cfg, d).train()
+    rep = evaluate(d, episodes=10)
+    assert rep["return_mean"] >= 475, rep
 
 
 def test_actor_priorities_loop(tmp_path):

@@ -201,3 +201,37 @@ def test_apex_trainer_end_to_end(tmp_path):
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+def test_fused_superstep_end_to_end(tmp_path):
+    """The whole Ape-X iteration (device envs -> sharded replay -> DP
+    updates) as ONE shard_map'd program on the 8-device mesh."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    cfg = {
+        "seed": 0,
+        "env": {"type": "cartpole_device", "num_envs": 4},
+        "model": {"torso": "mlp", "mlp_hidden": [16],
+                  "head": "linear"},
+        "replay": {"steps_per_env": 128, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
+                 "lr": 1e-3, "target_update_freq": 10},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 2000},
+        "train": {"total_env_steps": 8000, "warmup_env_steps": 0,
+                  "chunk_len": 16, "updates_per_chunk": 2,
+                  "log_interval": 10**9},
+    }
+    t = FusedApexTrainer(cfg, str(tmp_path / "fused")).train()
+    assert t.updates_done > 0
+    assert t.env_steps >= 8000
+    rets = t.episode_stats()
+    assert rets and all(1 <= r <= 500 for r in rets)
+    # replication invariant on params
+    for leaf in jax.tree.leaves(t.train_state.params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+    # per-shard sum trees all active
+    d = t.num_shards
+    tree = np.asarray(t.replay_state.tree).reshape(d, -1)
+    assert np.all(tree[:, 1] > 0)
