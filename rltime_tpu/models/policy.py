@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rltime_tpu.models.torso import MLPTorso, NatureCNNTorso
+from rltime_tpu.models.torso import (
+    MLPTorso, MinAtarCNNTorso, NatureCNNTorso,
+)
 from rltime_tpu.models.heads import LinearQHead, DuelingQHead, IQNHead
 
 
@@ -27,7 +29,7 @@ from rltime_tpu.models.heads import LinearQHead, DuelingQHead, IQNHead
 class ModelConfig:
     """Static model hyperparameters (hashable; safe as jit static arg)."""
     num_actions: int
-    torso: str = "mlp"                  # "mlp" | "nature_cnn"
+    torso: str = "mlp"                  # "mlp" | "nature_cnn" | "minatar_cnn"
     mlp_hidden: Tuple[int, ...] = (64, 64)
     cnn_channels: Tuple[int, ...] = (32, 64, 64)
     cnn_fc: int = 512
@@ -66,6 +68,10 @@ class QPolicy(nn.Module):
             self.torso_mod = NatureCNNTorso(channels=c.cnn_channels,
                                             fc=c.cnn_fc,
                                             compute_dtype=c.dtype)
+        elif c.torso == "minatar_cnn":
+            self.torso_mod = MinAtarCNNTorso(channels=c.cnn_channels,
+                                             fc=c.cnn_fc,
+                                             compute_dtype=c.dtype)
         else:
             raise ValueError(f"unknown torso {c.torso!r}")
         if c.recurrent:

@@ -28,6 +28,34 @@ class MLPTorso(nn.Module):
         return x.astype(jnp.float32)
 
 
+class MinAtarCNNTorso(nn.Module):
+    """MinAtar conv torso (Young & Tian 2019): 3x3/1 conv(s) + FC.
+
+    Input: (B, H, W, C) binary planes (uint8 0/1 — cast, NOT /255), or
+    (B, F, H, W, C) from the replay frame-window gather, in which case
+    the frame axis is merged into channels (MinAtar uses F=1; the
+    trail plane encodes motion).
+    """
+    channels: Sequence[int] = (16,)
+    fc: int = 128
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 5:
+            b, f, h, w, c = x.shape
+            x = jnp.moveaxis(x, 1, -2).reshape(b, h, w, f * c)
+        x = x.astype(self.compute_dtype)
+        for ch in self.channels:
+            x = nn.Conv(ch, (3, 3), strides=(1, 1), padding="VALID",
+                        dtype=self.compute_dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.fc, dtype=self.compute_dtype)(x)
+        x = nn.relu(x)
+        return x.astype(jnp.float32)
+
+
 class NatureCNNTorso(nn.Module):
     """DeepMind Nature-DQN CNN: 8x8/4 -> 4x4/2 -> 3x3/1 -> FC 512.
 

@@ -124,8 +124,8 @@ class Trainer:
         if getattr(self.env, "is_device", False):
             from rltime_tpu.acting.device_actor import DeviceActor
             if self.frame_stack != 1:
-                raise ValueError("device envs are vector-obs; "
-                                 "frame_stack must be 1")
+                raise ValueError("device envs feed raw obs straight to "
+                                 "the model; frame_stack must be 1")
             self.actor = DeviceActor(
                 self.env.inner, self.env.num_envs, self.model_cfg,
                 exploration, fold_in_str(root, "actor"),
