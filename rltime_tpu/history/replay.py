@@ -212,16 +212,21 @@ def replay_sample_indices(cfg: ReplayConfig, state: ReplayState, key,
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def replay_update_priorities(cfg: ReplayConfig, state: ReplayState,
                              leaf: jnp.ndarray,
-                             td_abs: jnp.ndarray) -> ReplayState:
+                             td_abs: jnp.ndarray,
+                             keep=None) -> ReplayState:
     """Write |TD|-derived priorities back after a learner step.
 
     p = (|td| + min_priority)^alpha. Updates to leaves that have been
     zeroed since sampling (overwritten by inserts) are dropped so dead
-    entries cannot be resurrected.
+    entries cannot be resurrected. `keep` (optional (B,) 0/1 mask)
+    writes priority 0 instead — used to DRAIN entries the learner
+    excluded (truncation-biased windows, ops/returns.truncation_mask).
     """
     if not cfg.prioritized:
         return state
     p = (td_abs + cfg.min_priority) ** cfg.alpha
+    if keep is not None:
+        p = p * keep.astype(p.dtype)
     cur = sum_tree.get(state.tree, leaf)
     p = jnp.where(cur > 0, p, 0.0)
     tree = sum_tree.set_priorities(state.tree, leaf, p)

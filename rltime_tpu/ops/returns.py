@@ -64,6 +64,56 @@ def nstep_bootstrap_index(terminated: jnp.ndarray):
     return jnp.where(any_term, first + 1, n)
 
 
+def truncation_mask(terminated: jnp.ndarray, done: jnp.ndarray):
+    """1.0 where an n-step window's target is exact, 0.0 where biased.
+
+    A window whose FIRST episode boundary is a truncation
+    (done & ~terminated) has no valid bootstrap: auto-reset discarded
+    the time-limit terminal observation, and treating the truncation
+    as termination would bias Q downward. Such windows are excluded —
+    zero loss weight AND zero priority write-back, so PER drains them
+    (the exact-truncation design; see training/learner.py).
+
+    Windows whose first boundary is a termination are exact (discount
+    0), as are boundary-free windows (bootstrap from stored obs).
+
+    Args: terminated, done: (..., n) window flags. Returns (...,) f32.
+    """
+    d = done.astype(bool)
+    any_d = jnp.any(d, axis=-1)
+    first = jnp.argmax(d, axis=-1)
+    first_term = jnp.take_along_axis(
+        terminated.astype(bool), first[..., None], axis=-1)[..., 0]
+    bad = any_d & (~first_term)
+    return 1.0 - bad.astype(jnp.float32)
+
+
+def truncation_suffix_mask(terminated: jnp.ndarray, done: jnp.ndarray):
+    """Per-step exactness mask for lambda returns over a window.
+
+    A lambda return G_t folds in every reward until its episode
+    segment's boundary (or the window end, where it bootstraps). Step t
+    is biased iff the segment containing t ends in a truncation INSIDE
+    the window: carry `bad` backwards, set at a truncation, cleared at
+    a termination.
+
+    Args: terminated, done: (..., L). Returns (..., L) f32 (1 = exact).
+    """
+    term = terminated.astype(bool)
+    trunc = done.astype(bool) & (~term)
+
+    def step(carry, xs):
+        tr, te = xs
+        bad = jnp.where(tr, True, jnp.where(te, False, carry))
+        return bad, bad
+
+    xs = (jnp.moveaxis(trunc, -1, 0)[::-1],
+          jnp.moveaxis(term, -1, 0)[::-1])
+    init = jnp.zeros(trunc.shape[:-1], bool)
+    _, bads = jax.lax.scan(step, init, xs)
+    return 1.0 - jnp.moveaxis(bads[::-1], 0, -1).astype(jnp.float32)
+
+
 def lambda_returns(rewards: jnp.ndarray, terminated: jnp.ndarray,
                    values: jnp.ndarray, gamma: float, lam: float):
     """Peng-style lambda returns over a window (SURVEY.md §0 item 3).

@@ -50,6 +50,12 @@ class AlgoConfig:
     # PER importance-sampling beta anneal (host passes beta per call)
     per_beta_start: float = 0.4
     per_beta_end: float = 1.0
+    # Exact truncation handling: windows whose first boundary is a
+    # time-limit truncation are excluded from the loss and drained
+    # from PER (ops/returns.truncation_mask). False reverts to the
+    # truncation-as-termination approximation (the reference's
+    # pre-gym-0.26 behavior — it never distinguishes the two).
+    exact_truncation: bool = True
     # IQN
     num_tau: int = 64
     num_tau_prime: int = 64
@@ -120,7 +126,7 @@ def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
     obs_tn = frame_stack_gather(replay_cfg, rstate, env,
                                 col + n_step, frame_stack)
     win = replay_gather_window(replay_cfg, rstate, env, col, n_step,
-                               fields=["reward", "done"])
+                               fields=["reward", "done", "terminated"])
     at = replay_gather_at(replay_cfg, rstate, env, col, fields=["action"])
     return dict(
         obs=build_net_input(obs_t, flatten),
@@ -128,10 +134,12 @@ def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
         action=at["action"],
         rewards=win["reward"],
         # `done` (terminated|truncated) bounds both the reward sum and
-        # the bootstrap: truncation is treated as termination for the
-        # target (documented approximation — auto-reset discards the
-        # terminal obs; see envs/base.py).
+        # the bootstrap. Windows whose first boundary is a TRUNCATION
+        # have no stored bootstrap obs (auto-reset discards it); they
+        # are excluded exactly via `trunc_ok` — zero loss weight + zero
+        # priority write-back (see ops/returns.truncation_mask).
         boundary=win["done"],
+        trunc_ok=returns.truncation_mask(win["terminated"], win["done"]),
     )
 
 
@@ -202,7 +210,10 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         idx = replay_sample_indices(replay_cfg, rstate, skey, B, beta)
         batch = _gather_batch(replay_cfg, rstate, idx["env"], idx["col"],
                               frame_stack, algo_cfg.n_step, flatten)
-        batch["weight"] = idx["weight"]
+        trunc_ok = batch.pop("trunc_ok")
+        if not algo_cfg.exact_truncation:
+            trunc_ok = jnp.ones_like(trunc_ok)
+        batch["weight"] = idx["weight"] * trunc_ok
 
         (loss, (td_abs, qmetric)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.target_params,
@@ -221,9 +232,10 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             params)
 
         rstate = replay_update_priorities(replay_cfg, rstate,
-                                          idx["leaf"], td_abs)
+                                          idx["leaf"], td_abs,
+                                          keep=trunc_ok)
         metrics = dict(loss=loss, q=qmetric,
-                       td_abs=jnp.mean(td_abs),
+                       td_abs=jnp.mean(td_abs * trunc_ok),
                        grad_norm=optax.global_norm(grads),
                        mean_weight=jnp.mean(idx["weight"]))
         if algo_cfg.debug_outputs:

@@ -113,6 +113,7 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
 
         r_full = batch["reward"][:, burn:]               # (B, L+n)
         b_full = batch["boundary"][:, burn:]             # (B, L+n)
+        t_full = batch["terminated"][:, burn:]           # (B, L+n)
         if algo_cfg.use_lambda:
             # Peng's Q(lambda) over the training window (SURVEY.md §0
             # item 3): G_t = r_t + gamma(1-term)[(1-lam) V_{t+1}
@@ -126,6 +127,10 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             target = h(returns.lambda_returns(
                 r_full[:, :L], b_full[:, :L], v_next, gamma,
                 algo_cfg.lambda_))
+            # steps whose segment ends in a truncation inside the
+            # window have biased lambda returns — mask them out.
+            tmask = returns.truncation_suffix_mask(
+                t_full[:, :L], b_full[:, :L])
         else:
             # Per-step n-step targets inside the sequence:
             # windows (B, L, n) built from the (B, L+n) strips.
@@ -139,13 +144,19 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             boot = jnp.take_along_axis(
                 q_tg_next, a_star[..., None], axis=-1)[..., 0]
             target = h(rew_n + disc_n * h_inv(boot))
+            # per-step n-step windows whose first boundary is a
+            # truncation are biased — mask them out.
+            tmask = returns.truncation_mask(t_full[:, idx],
+                                            b_full[:, idx])
         target = jax.lax.stop_gradient(target)
 
         td = target - q_sa                                # (B, L)
         per_step = losses.huber(td, algo_cfg.huber_kappa)
-        mask = jnp.ones_like(td)
+        mask = (tmask if algo_cfg.exact_truncation
+                else jnp.ones_like(td))
         loss = jnp.mean(jnp.sum(per_step * mask, axis=-1)
-                        / jnp.sum(mask, axis=-1) * batch["weight"])
+                        / jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+                        * batch["weight"])
         prio = losses.sequence_priority(jnp.abs(td), mask,
                                         algo_cfg.eta)
         return loss, (prio, jnp.mean(q_sa))
@@ -177,7 +188,7 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                                      total, frame_stack)
         win = replay_gather_window(
             replay_cfg, rstate, env, col, total,
-            fields=["action", "reward", "done"])
+            fields=["action", "reward", "done", "terminated"])
         # done_prev[t] = done at col+t-1 (episode ended before step t).
         prev = replay_gather_window(
             replay_cfg, rstate, env, col - 1, 1, fields=["done"])
@@ -190,6 +201,7 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                               fields=["rnn_c", "rnn_h"])
         batch = dict(obs=obs, action=win["action"],
                      reward=win["reward"], boundary=win["done"],
+                     terminated=win["terminated"],
                      done_prev=done_prev,
                      state0=(s0["rnn_c"], s0["rnn_h"]),
                      weight=idx["weight"])

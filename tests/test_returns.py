@@ -100,3 +100,50 @@ def test_value_rescale_roundtrip():
     h = returns.value_rescale(x)
     assert np.all(np.diff(np.asarray(h)) > 0)
     assert float(returns.value_rescale(jnp.array(0.0))) == 0.0
+
+
+def brute_truncation_mask(term, done):
+    """First-boundary-is-truncation exclusion, scalar reference."""
+    for i in range(len(done)):
+        if done[i]:
+            return 0.0 if not term[i] else 1.0
+    return 1.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("n", [1, 3, 5])
+def test_truncation_mask_matches_bruteforce(seed, n):
+    rng = np.random.default_rng(100 + seed)
+    B = 32
+    term = rng.random((B, n)) < 0.25
+    trunc = (~term) & (rng.random((B, n)) < 0.25)
+    done = term | trunc
+    m = returns.truncation_mask(jnp.array(term), jnp.array(done))
+    for b in range(B):
+        assert float(m[b]) == brute_truncation_mask(term[b], done[b]), b
+
+
+def brute_suffix_mask(term, done):
+    """Per-step lambda-return exclusion, scalar reference: step t is
+    biased iff its episode segment ends in a truncation in-window."""
+    L = len(done)
+    out = np.ones(L)
+    bad = False
+    for t in range(L - 1, -1, -1):
+        if done[t]:
+            bad = not term[t]
+        out[t] = 0.0 if bad else 1.0
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_truncation_suffix_mask_matches_bruteforce(seed):
+    rng = np.random.default_rng(200 + seed)
+    B, L = 16, 9
+    term = rng.random((B, L)) < 0.2
+    trunc = (~term) & (rng.random((B, L)) < 0.2)
+    done = term | trunc
+    m = returns.truncation_suffix_mask(jnp.array(term), jnp.array(done))
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(m[b]), brute_suffix_mask(term[b], done[b]), str(b))
