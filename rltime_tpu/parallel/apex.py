@@ -159,9 +159,12 @@ class ApexTrainer:
         self.train_state = make_train_state(
             self.model_cfg, self.algo_cfg, fold_in_str(root, "learner"),
             ex_obs)
-        # replicate explicitly over the global mesh
-        rep = NamedSharding(self.mesh, P())
-        self.train_state = jax.device_put(self.train_state, rep)
+        # replicate explicitly over the global mesh (every process
+        # builds the identical state from the same seed, so the
+        # callback-based replication is consistent cross-process)
+        from rltime_tpu.parallel.mesh import replicate_global
+        self.train_state = replicate_global(self.train_state,
+                                            self.mesh)
 
         self._insert = make_sharded_insert(
             self.replay_cfg, self.mesh, self.replay_state)
@@ -175,6 +178,7 @@ class ApexTrainer:
         self._actor_params = jax.device_get(self.train_state.params)
         self.updates_done = 0
         self._chunks = 0
+        self.result_dir = result_dir
         self.logger = (RunLogger(result_dir, config)
                        if self.is_lead else None)
         self._steps_at_last_log = 0
@@ -215,7 +219,9 @@ class ApexTrainer:
         self._chunks += 1
         metrics = {}
         if self.global_env_steps >= self.loop_cfg.warmup_env_steps:
-            beta = jnp.float32(self._beta())
+            # host scalar: valid on every process of a multi-host run
+            # (a committed jnp scalar would be single-device only)
+            beta = np.float32(self._beta())
             self.train_state, self.replay_state, metrics = \
                 self._update(self.train_state, self.replay_state, beta)
             self.updates_done += self.loop_cfg.updates_per_chunk
@@ -235,20 +241,20 @@ class ApexTrainer:
                              jax.device_get(self.train_state), host)
 
     def try_resume(self):
-        """Resume learner state from the lead process's result dir;
-        every process restores then re-replicates over the mesh."""
-        if self.logger is None:
-            return False
-        from jax.sharding import NamedSharding, PartitionSpec
+        """Resume learner state from the shared result dir. EVERY
+        process restores the same checkpoint (multi-host runs assume a
+        shared filesystem, the Cloud TPU norm) then re-replicates —
+        lead-only restore would silently desync the replicated state."""
+        from rltime_tpu.parallel.mesh import replicate_global
         from rltime_tpu.training import checkpoint as ckpt_lib
-        step = ckpt_lib.latest_step(self.logger.dir)
+        step = ckpt_lib.latest_step(self.result_dir)
         if step is None:
             return False
         example = {"train_state": jax.device_get(self.train_state),
                    "host_state": dict(env_steps=0, updates=0)}
-        restored = ckpt_lib.restore(self.logger.dir, step, example)
-        rep = NamedSharding(self.mesh, PartitionSpec())
-        self.train_state = jax.device_put(restored["train_state"], rep)
+        restored = ckpt_lib.restore(self.result_dir, step, example)
+        self.train_state = replicate_global(restored["train_state"],
+                                            self.mesh)
         self.actor.env_steps = int(
             restored["host_state"]["env_steps"])
         self.updates_done = int(restored["host_state"]["updates"])

@@ -25,6 +25,7 @@ distributed code, shard_map just changes what "E" means.
 from __future__ import annotations
 
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -50,6 +51,41 @@ def make_mesh(devices=None, data: Optional[int] = None,
     return Mesh(arr, ("data", "model"))
 
 
+def make_global_array(x, mesh: Mesh, spec: P):
+    """Host/local array -> GLOBAL array sharded per `spec` over `mesh`.
+
+    Works in true multi-process runs (where the mesh spans devices this
+    process cannot address and plain `jax.device_put` is illegal):
+    `make_array_from_callback` materializes only the local shards. The
+    caller must pass the same `x` on every process.
+    """
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Replicate a (process-identical) pytree over the full mesh.
+
+    Typed PRNG key leaves are round-tripped through key_data /
+    wrap_key_data (numpy can't hold them directly).
+    """
+    sh = NamedSharding(mesh, P())
+
+    def f(x):
+        if (hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)):
+            impl = jax.random.key_impl(x)
+            data = make_global_array(
+                np.asarray(jax.random.key_data(x)), mesh, P())
+            wrap = functools.partial(jax.random.wrap_key_data,
+                                     impl=impl)
+            return jax.jit(wrap, out_shardings=sh)(data)
+        return make_global_array(x, mesh, P())
+
+    return jax.tree.map(f, tree)
+
+
 def sharded_replay_init(local_cfg: ReplayConfig, num_shards: int,
                         field_specs: Dict[str, Tuple[Tuple[int, ...], Any]],
                         mesh: Mesh) -> ReplayState:
@@ -62,16 +98,24 @@ def sharded_replay_init(local_cfg: ReplayConfig, num_shards: int,
     """
     local = replay_init(local_cfg, field_specs)
     def rep(x, spec):
-        tiled = jnp.concatenate([x] * num_shards, axis=0) \
-            if x.ndim > 0 else x
-        return jax.device_put(tiled, NamedSharding(mesh, spec))
+        # every shard holds an identical copy of the LOCAL init state;
+        # the callback serves each device's block from the one local
+        # array — no global-size host allocation (matters on pods).
+        x = np.asarray(x)
+        gshape = (x.shape[0] * num_shards,) + x.shape[1:]
+        sh = NamedSharding(mesh, spec)
+
+        def cb(idx):
+            start, stop, _ = idx[0].indices(gshape[0])
+            return x[(slice(0, stop - start),) + tuple(idx[1:])]
+
+        return jax.make_array_from_callback(gshape, sh, cb)
     storage = {k: rep(v, P("data")) for k, v in local.storage.items()}
     return ReplayState(
         storage=storage,
-        t=jax.device_put(local.t, NamedSharding(mesh, P())),
+        t=make_global_array(local.t, mesh, P()),
         tree=rep(local.tree, P("data")),
-        max_priority=jax.device_put(local.max_priority,
-                                    NamedSharding(mesh, P())),
+        max_priority=make_global_array(local.max_priority, mesh, P()),
     )
 
 

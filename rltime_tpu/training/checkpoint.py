@@ -12,9 +12,54 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 
 from rltime_tpu.training.learner import TrainState
+
+
+def _is_key(x) -> bool:
+    return (hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jax.dtypes.prng_key))
+
+
+def _strip_keys(tree):
+    """Typed PRNG key leaves -> raw uint32 key data (serializable)."""
+    return jax.tree.map(
+        lambda x: np.asarray(jax.random.key_data(x)) if _is_key(x)
+        else x, tree)
+
+
+def _rewrap_keys(example, restored):
+    """Re-type restored raw key data wherever `example` had a key."""
+    def f(ex, x):
+        if _is_key(ex):
+            return jax.random.wrap_key_data(
+                jnp.asarray(x), impl=jax.random.key_impl(ex))
+        return x
+    return jax.tree.map(f, example, restored)
+
+
+def _local_checkpointer() -> ocp.Checkpointer:
+    """Checkpointer whose barriers involve ONLY this process.
+
+    Checkpoints here are written from host (device_get'd) arrays by
+    whichever process owns the result dir, so orbax's default
+    all-process sync barriers would deadlock multi-host runs where only
+    the lead process saves (observed: gloo DEADLINE_EXCEEDED in
+    tests/test_multiprocess.py before this fix).
+    """
+    me = 0
+    try:
+        me = jax.process_index()
+    except RuntimeError:
+        pass
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"proc{me}"))
 
 
 def save(result_dir: str, step: int, train_state: TrainState,
@@ -27,8 +72,8 @@ def save(result_dir: str, step: int, train_state: TrainState,
     }
     if replay_state is not None:
         ckpt["replay_state"] = replay_state
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, ckpt, force=True)
+    with _local_checkpointer() as ckptr:
+        ckptr.save(path, _strip_keys(ckpt), force=True)
     return path
 
 
@@ -49,13 +94,15 @@ def restore(result_dir: str, step: Optional[int] = None,
                 f"no checkpoints under {result_dir!r}")
     path = os.path.abspath(os.path.join(result_dir, "checkpoints",
                                         str(step)))
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         if example is not None:
+            stripped = _strip_keys(example)
             restored = ckptr.restore(
                 path, args=ocp.args.PyTreeRestore(
-                    item=example,
+                    item=stripped,
                     restore_args=jax.tree.map(
-                        lambda _: ocp.RestoreArgs(), example)))
+                        lambda _: ocp.RestoreArgs(), stripped)))
+            restored = _rewrap_keys(example, restored)
         else:
             restored = ckptr.restore(path)
     restored["step"] = step

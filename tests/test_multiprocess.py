@@ -1,0 +1,80 @@
+"""TRUE multi-process distributed tests (SURVEY.md §4 item 4, upgraded).
+
+The 8-virtual-device conftest mesh exercises shard_map/pjit sharding in
+ONE process; these tests spawn REAL separate jax.distributed processes
+(gloo CPU collectives) so the cross-process code paths run for real:
+
+  * jax.distributed.initialize / coordinator service over localhost,
+  * global mesh spanning devices of different processes,
+  * make_array_from_process_local_data replay inserts (each process
+    contributes only its local env lanes),
+  * shard_map gradient pmean crossing the process boundary,
+  * replicated train-state coherence across processes.
+
+This is the closest in-sandbox stand-in for a multi-host pod run: the
+code path is identical, only the transport differs (gloo/TCP here,
+ICI/DCN there).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_mp_apex_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nproc, n_dev, tmp_path, timeout=420):
+    port = _free_port()
+    outs = [str(tmp_path / f"out_{i}.json") for i in range(nproc)]
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), str(nproc), str(port),
+             str(n_dev), outs[i], str(tmp_path / f"res_{i}")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(_WORKER) + "/..")
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, (
+            f"worker {i} failed (rc={p.returncode}):\n{log}")
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.multiprocess
+def test_apex_two_process_end_to_end(tmp_path):
+    """Full Ape-X training across 2 real processes x 2 devices each."""
+    results = _run_workers(nproc=2, n_dev=2, tmp_path=tmp_path)
+    assert [r["process_id"] for r in results] == [0, 1]
+    for r in results:
+        assert r["global_devices"] == 4
+        assert r["local_devices"] == 2
+        assert r["updates_done"] > 0
+        assert r["global_env_steps"] >= 1600
+        assert r["num_episodes"] > 0
+    # Replicated learner state must be IDENTICAL across processes after
+    # training: each process fed different env lanes, so equality here
+    # proves the cross-process gradient pmean actually synchronized.
+    assert results[0]["param_checksum"] == results[1]["param_checksum"]
+    assert results[0]["param_checksum"] != 0.0
