@@ -56,6 +56,14 @@ def main():
     }
     rstate = replay_init(rcfg, fields)
     rng = np.random.default_rng(0)
+    # Supersteps per dispatch: each superstep = 1 chunk insert + 4
+    # updates (same per-transition work as a chunked training loop, but
+    # launched as ONE XLA program — the shape the Trainer/FusedApexTrainer
+    # run, and the only honest way to measure the device pipeline when
+    # the host link has multi-ms dispatch latency). Python-unrolled, so
+    # S also scales compile time — 4 keeps the remote compile service
+    # happy while amortizing dispatch to ~6% of the program.
+    S = 4
 
     def chunk(k):
         return dict(
@@ -73,36 +81,55 @@ def main():
 
     ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
-    update = jax.jit(make_update_step(mcfg, acfg, rcfg, F, False),
-                     donate_argnums=(0, 1))
+    update = make_update_step(mcfg, acfg, rcfg, F, False)
+
+    from rltime_tpu.training.learner import make_insert_and_update_step
+    insert_update = make_insert_and_update_step(rcfg, update, 4)
+
+    def superstep(tstate, rstate, beta, chunks):
+        """S x (insert one chunk + 4 updates) as one XLA program.
+
+        The chunk loop is Python-unrolled (NOT lax.scan): a scan would
+        put the storage ring in the loop carry, and XLA then copies
+        the full ~460 MB obs ring every iteration instead of updating
+        it in place (tools/profile_update.py).
+        """
+        for i in range(S):
+            ck = {k: v[i] for k, v in chunks.items()}
+            tstate, rstate, metrics = insert_update(tstate, rstate,
+                                                    ck, beta)
+        return tstate, rstate, metrics
+
+    superstep = jax.jit(superstep, donate_argnums=(0, 1))
+
+    def stacked(base):
+        out = [chunk(base + i) for i in range(S)]
+        return {k: jnp.asarray(np.stack([c[k] for c in out]))
+                for k in out[0]}
 
     beta = jnp.float32(0.4)
     # compile + warmup. HARD host sync via D2H scalar pulls — on the
     # tunneled backend block_until_ready can return before the queue
     # drains, which inflates rates and leaves work in flight.
-    tstate, rstate, metrics = update(tstate, rstate, beta)
+    warm = stacked(50)
+    tstate, rstate, metrics = superstep(tstate, rstate, beta, warm)
     float(np.asarray(metrics["loss"]))
 
-    iters = 100
+    dispatches = 6
     # Pregenerate + pre-transfer insert chunks so the timed region
     # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
     # inserts), not host-side numpy RNG.
-    n_inserts = iters // 4
-    device_chunks = [
-        {k: jnp.asarray(v) for k, v in chunk(100 + i).items()}
-        for i in range(n_inserts)
-    ]
-    float(np.asarray(device_chunks[-1]["reward"][0, 0]))
+    device_chunks = [stacked(100 + S * i) for i in range(dispatches)]
+    float(np.asarray(device_chunks[-1]["reward"][0, 0, 0]))
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        if i % 4 == 0:  # steady-state insert interleave
-            rstate = replay_insert(rcfg, rstate,
-                                   device_chunks[i // 4])
-        tstate, rstate, metrics = update(tstate, rstate, beta)
+    for i in range(dispatches):
+        tstate, rstate, metrics = superstep(tstate, rstate, beta,
+                                            device_chunks[i])
     float(np.asarray(metrics["loss"]))   # drains the whole chain
     dt = time.perf_counter() - t0
 
+    iters = dispatches * S * 4           # learner updates executed
     updates_per_s = iters / dt
     transitions_per_s = updates_per_s * batch
     per_chip_target = 1_000_000 / 16

@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from rltime_tpu.ops import sum_tree
+from rltime_tpu.ops import dense_tree, sum_tree
+
+
+def _tree_ops(cfg: "ReplayConfig"):
+    """Priority-structure backend for this replay (see cfg.sampler)."""
+    return dense_tree if cfg.sampler == "dense" else sum_tree
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +56,12 @@ class ReplayConfig:
     prioritized: bool = True
     alpha: float = 0.6       # PER exponent (priorities stored ^alpha)
     min_priority: float = 1e-6
+    # Priority structure backend: "dense" (ops/dense_tree.py — flat
+    # array + block partial sums, all vector ops; the TPU-native
+    # default) or "tree" (ops/sum_tree.py — classic binary sum tree,
+    # log-depth descend/scatter chains; kept for comparison and for
+    # the reference's exact data structure).
+    sampler: str = "dense"
     # Ape-X actor-side initial priorities ([BJ] "actors produce
     # transitions with initial priorities"): when True and the chunk
     # carries a "priority" field (raw |TD| estimates from the actor),
@@ -90,7 +101,7 @@ def replay_init(cfg: ReplayConfig,
         name: jnp.zeros((E, T) + tuple(shape), dtype=dtype)
         for name, (shape, dtype) in field_specs.items()
     }
-    tree = (sum_tree.init(cfg.capacity) if cfg.prioritized
+    tree = (_tree_ops(cfg).init(cfg.capacity) if cfg.prioritized
             else jnp.zeros((1,), jnp.float32))
     return ReplayState(
         storage=storage,
@@ -127,6 +138,7 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
 
     tree = state.tree
     if cfg.prioritized:
+        st = _tree_ops(cfg)
         env_ids = jnp.repeat(jnp.arange(E, dtype=jnp.int32), L)
         offs = jnp.tile(jnp.arange(L, dtype=jnp.int32), E)
         # 1) zero the columns being overwritten, plus the columns
@@ -134,13 +146,15 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
         #    just clobbered.
         new_cols = jnp.mod(col + offs, T)
         dead = _flat_leaf(cfg, env_ids, new_cols)
-        tree = sum_tree.set_priorities(
-            tree, dead, jnp.zeros_like(dead, dtype=tree.dtype))
+        tree = st.set_priorities(
+            tree, dead, jnp.zeros_like(dead, dtype=tree.dtype),
+            unique=True)
         if cfg.lookback > 0:
             lb_cols = jnp.mod(col + offs + cfg.lookback, T)
             dead2 = _flat_leaf(cfg, env_ids, lb_cols)
-            tree = sum_tree.set_priorities(
-                tree, dead2, jnp.zeros_like(dead2, dtype=tree.dtype))
+            tree = st.set_priorities(
+                tree, dead2, jnp.zeros_like(dead2, dtype=tree.dtype),
+                unique=True)
         # 2) activate columns whose horizon just completed.
         act_u = state.t + offs - cfg.horizon      # unwrapped times
         act_cols = jnp.mod(act_u, T)
@@ -151,7 +165,8 @@ def replay_insert(cfg: ReplayConfig, state: ReplayState,
         else:
             base = state.max_priority
         prio = jnp.where(act_u >= 0, base, 0.0)
-        tree = sum_tree.set_priorities(tree, live, prio.astype(tree.dtype))
+        tree = st.set_priorities(tree, live, prio.astype(tree.dtype),
+                                 unique=True)
 
     max_p = state.max_priority
     if cfg.prioritized and cfg.use_inserted_priorities \
@@ -194,10 +209,11 @@ def replay_sample_indices(cfg: ReplayConfig, state: ReplayState, key,
                     weight=jnp.ones((batch,), jnp.float32),
                     num_valid=num_valid)
 
-    leaf, prio = sum_tree.sample(state.tree, key, batch)
+    st = _tree_ops(cfg)
+    leaf, prio = st.sample(state.tree, key, batch)
     env = leaf // T
     col = leaf - env * T
-    tot = sum_tree.total(state.tree)
+    tot = st.total(state.tree)
     p = prio / jnp.maximum(tot, 1e-30)
     w = (num_valid.astype(jnp.float32) * p) ** (-beta)
     # Belt-and-braces: the descend cannot land on a zero leaf while
@@ -227,9 +243,10 @@ def replay_update_priorities(cfg: ReplayConfig, state: ReplayState,
     p = (td_abs + cfg.min_priority) ** cfg.alpha
     if keep is not None:
         p = p * keep.astype(p.dtype)
-    cur = sum_tree.get(state.tree, leaf)
+    st = _tree_ops(cfg)
+    cur = st.get(state.tree, leaf)
     p = jnp.where(cur > 0, p, 0.0)
-    tree = sum_tree.set_priorities(state.tree, leaf, p)
+    tree = st.set_priorities(state.tree, leaf, p)
     max_p = jnp.maximum(state.max_priority, jnp.max(p))
     return state.replace(tree=tree, max_priority=max_p)
 

@@ -50,27 +50,34 @@ def get(tree: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def set_priorities(tree: jnp.ndarray, idx: jnp.ndarray,
-                   priorities: jnp.ndarray) -> jnp.ndarray:
+                   priorities: jnp.ndarray,
+                   unique: bool = False) -> jnp.ndarray:
     """Set leaves `idx` (shape (B,)) to `priorities`, fixing all ancestors.
 
     Duplicate indices resolve to the LAST occurrence (sorted stable, so
     the final value for a repeated leaf is the value paired with its
-    last occurrence in the input order).
+    last occurrence in the input order). `unique=True` asserts the
+    caller guarantees no duplicates and skips the dedup sort (a TPU
+    argsort costs far more than the scatters themselves).
     """
     n = capacity(tree)
     depth = n.bit_length() - 1  # log2(n)
     idx = idx.astype(jnp.int32)
     priorities = priorities.astype(tree.dtype)
 
-    # Stable sort so "last occurrence in input order" is well defined.
-    order = jnp.argsort(idx, stable=True)
-    sidx = idx[order]
-    sp = priorities[order]
-    # keep[i] iff sidx[i] is the last occurrence of that leaf.
-    keep = jnp.concatenate(
-        [sidx[1:] != sidx[:-1], jnp.ones((1,), dtype=bool)])
-    old = tree[n + sidx]
-    delta = jnp.where(keep, sp - old, jnp.zeros_like(sp))
+    if unique:
+        sidx, sp = idx, priorities
+        delta = sp - tree[n + sidx]
+    else:
+        # Stable sort so "last occurrence in input order" is well defined.
+        order = jnp.argsort(idx, stable=True)
+        sidx = idx[order]
+        sp = priorities[order]
+        # keep[i] iff sidx[i] is the last occurrence of that leaf.
+        keep = jnp.concatenate(
+            [sidx[1:] != sidx[:-1], jnp.ones((1,), dtype=bool)])
+        old = tree[n + sidx]
+        delta = jnp.where(keep, sp - old, jnp.zeros_like(sp))
 
     nodes = n + sidx
     for _ in range(depth + 1):  # leaf level .. root (node 1)

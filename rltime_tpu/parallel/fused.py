@@ -168,19 +168,26 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             t=jax.lax.pmax(rstate.t, "data"),
             max_priority=jax.lax.pmax(rstate.max_priority, "data"))
 
-        # 3) K learner updates with ICI pmean
+        # 3) K learner updates with ICI pmean. Storage stays OUT of
+        # the scan carry (read-only in updates; carrying it costs
+        # full-ring boundary copies — see learner._scan_updates).
+        storage = rstate.storage
+
         def upd_body(carry, _):
-            t, r = carry
+            t, tree, cur, max_p = carry
+            r = rstate.replace(storage=storage, tree=tree, t=cur,
+                               max_priority=max_p)
             shard = jax.lax.axis_index("data")
             lt = t.replace(key=jax.random.fold_in(t.key, shard))
             nt, nr, m = local_update(lt, r, beta)
             nt = nt.replace(key=jax.random.split(t.key, 3)[0])
             m = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), m)
-            nr = nr.replace(
-                max_priority=jax.lax.pmax(nr.max_priority, "data"))
-            return (nt, nr), m
-        (tstate, rstate), ms = jax.lax.scan(
-            upd_body, (tstate, rstate), None, length=num_updates)
+            max_p = jax.lax.pmax(nr.max_priority, "data")
+            return (nt, nr.tree, nr.t, max_p), m
+        carry0 = (tstate, rstate.tree, rstate.t, rstate.max_priority)
+        (tstate, tree, cur, max_p), ms = jax.lax.scan(
+            upd_body, carry0, None, length=num_updates)
+        rstate = rstate.replace(tree=tree, t=cur, max_priority=max_p)
         metrics = jax.tree.map(lambda m: m[-1], ms)
         return tstate, astate, rstate, metrics
 

@@ -205,12 +205,21 @@ def make_sharded_update_step(model_cfg: ModelConfig,
         if num_updates == 1:
             return _one(tstate, rstate, beta)
 
+        # Storage stays OUT of the scan carry (read-only in updates;
+        # carrying it costs full-ring boundary copies — see
+        # learner._scan_updates).
+        storage = rstate.storage
+
         def body(carry, _):
-            t, r = carry
+            t, tree, cur, max_p = carry
+            r = rstate.replace(storage=storage, tree=tree, t=cur,
+                               max_priority=max_p)
             t, r, m = _one(t, r, beta)
-            return (t, r), m
-        (tstate, rstate), ms = jax.lax.scan(
-            body, (tstate, rstate), None, length=num_updates)
+            return (t, r.tree, r.t, r.max_priority), m
+        carry0 = (tstate, rstate.tree, rstate.t, rstate.max_priority)
+        (tstate, tree, cur, max_p), ms = jax.lax.scan(
+            body, carry0, None, length=num_updates)
+        rstate = rstate.replace(tree=tree, t=cur, max_priority=max_p)
         return tstate, rstate, jax.tree.map(lambda m: m[-1], ms)
 
     def wrapped(tstate: TrainState, rstate: ReplayState, beta):

@@ -249,22 +249,60 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     return update_step
 
 
+def _scan_updates(update_step, state, rstate, beta, num_updates: int):
+    """Scan K update steps with replay STORAGE kept out of the carry.
+
+    Update steps read storage but never write it (priorities live in
+    the tree, not storage), so storage is closed over as a
+    loop-invariant. Carrying it instead costs full-buffer copies at
+    the while-loop boundary — profiled at ~4.5 ms/dispatch for the
+    Atari-shaped config (two ~460 MB obs-ring copies), 60% of the
+    whole update program (tools/profile_update.py).
+    """
+    storage = rstate.storage
+
+    def body(carry, _):
+        s, tree, t, max_p = carry
+        r = rstate.replace(storage=storage, tree=tree, t=t,
+                           max_priority=max_p)
+        s, r, m = update_step(s, r, beta)
+        return (s, r.tree, r.t, r.max_priority), m
+
+    carry0 = (state, rstate.tree, rstate.t, rstate.max_priority)
+    (state, tree, t, max_p), ms = jax.lax.scan(
+        body, carry0, None, length=num_updates)
+    rstate = rstate.replace(tree=tree, t=t, max_priority=max_p)
+    metrics = jax.tree.map(lambda m: m[-1], ms)
+    return state, rstate, metrics
+
+
+def make_insert_and_update_step(replay_cfg: ReplayConfig, update_step,
+                                num_updates: int):
+    """Fuse {chunk insert + K update steps} into ONE XLA program.
+
+    One host dispatch per training chunk instead of two — on a
+    high-latency host link (the tunneled sandbox measures ~2-4 ms per
+    dispatch) this matters as much as the device work itself. The ops
+    are the building blocks unchanged: history/replay.replay_insert
+    (outside the scan, so its dynamic_update_slice stays in-place)
+    followed by `num_updates` update_step iterations via _scan_updates.
+    """
+    from rltime_tpu.history import replay as replay_lib
+
+    def fused(state, rstate, chunk, beta):
+        rstate = replay_lib.replay_insert(replay_cfg, rstate, chunk)
+        return _scan_updates(update_step, state, rstate, beta,
+                             num_updates)
+    return fused
+
+
 def make_multi_update_step(update_step, num_updates: int):
     """Fuse K update steps into ONE jit dispatch via lax.scan.
 
-    Cuts per-update dispatch/launch overhead K-fold — on the remote-
-    attached TPU a dispatch costs ~0.1ms against a ~0.7ms step, so
-    chunked training runs the whole updates_per_chunk budget as one
-    launch. Returns the metrics of the LAST step (same contract as a
-    single update).
+    Cuts per-update dispatch/launch overhead K-fold. Returns the
+    metrics of the LAST step (same contract as a single update).
     """
     def multi(state, rstate, beta):
-        def body(carry, _):
-            s, r = carry
-            s, r, m = update_step(s, r, beta)
-            return (s, r), m
-        (state, rstate), ms = jax.lax.scan(
-            body, (state, rstate), None, length=num_updates)
-        metrics = jax.tree.map(lambda m: m[-1], ms)
-        return state, rstate, metrics
+        return _scan_updates(update_step, state, rstate, beta,
+                             num_updates)
     return multi

@@ -164,7 +164,16 @@ class Trainer:
         else:
             raise ValueError(f"unknown algo {algo!r}")
         k = self.loop_cfg.updates_per_chunk
-        if k > 1:  # one device launch per chunk
+        # Steady-state path: {chunk insert + K updates} as ONE
+        # dispatch (make_insert_and_update_step scans the K updates
+        # itself). The chunk arg is NOT donated — the async pool /
+        # actor may still alias its buffers (CLAUDE.md donation
+        # conventions).
+        from rltime_tpu.training.learner import make_insert_and_update_step
+        self._insert_update = jax.jit(
+            make_insert_and_update_step(self.replay_cfg, upd, k),
+            donate_argnums=(0, 1))
+        if k > 1:  # warmup-free multi-update (kept for resume paths)
             from rltime_tpu.training.learner import make_multi_update_step
             upd = make_multi_update_step(upd, k)
         self._update = jax.jit(upd, donate_argnums=(0, 1))
@@ -234,21 +243,22 @@ class Trainer:
             else:
                 chunk, act_info = self.actor.rollout(
                     self.train_state.params)
-        with self.timers.phase("insert"):
-            self.replay_state = replay_insert(self.replay_cfg,
-                                              self.replay_state, chunk)
         metrics = {}
         if self.actor.env_steps >= self.loop_cfg.warmup_env_steps:
             beta = jnp.float32(self._beta())
             with self.timers.phase("update"):
                 self.train_state, self.replay_state, metrics = \
-                    self._update(self.train_state, self.replay_state,
-                                 beta)
+                    self._insert_update(self.train_state,
+                                        self.replay_state, chunk, beta)
             self.updates_done += self.loop_cfg.updates_per_chunk
             if self.pool is not None:
                 self._pub_count = getattr(self, "_pub_count", 0) + 1
                 if self._pub_count % self.loop_cfg.publish_interval == 0:
                     self.pool.set_params(self.train_state.params)
+        else:  # warmup: fill replay without updating
+            with self.timers.phase("insert"):
+                self.replay_state = replay_insert(
+                    self.replay_cfg, self.replay_state, chunk)
         if self.transcript is not None:
             self.transcript.record_chunk(self.actor.env_steps,
                                          chunk["action"], metrics)

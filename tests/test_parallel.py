@@ -64,16 +64,18 @@ def test_sharded_insert_places_local_lanes():
     cfg = _local_cfg()
     rstate = sharded_replay_init(cfg, d, FIELDS, mesh)
     assert rstate.storage["obs"].shape == (d * E_LOCAL, T, 4)
-    assert rstate.tree.shape == (d * 256,)  # pow2(2*64)=128 leaves -> 256
+    from rltime_tpu.history.replay import _tree_ops
+    per_shard = _tree_ops(cfg).init(cfg.capacity).shape[0]
+    assert rstate.tree.shape == (d * per_shard,)
 
     insert = make_sharded_insert(cfg, mesh, rstate)
     chunk = shard_chunk(_chunk(d * E_LOCAL, 0), mesh)
     rstate = insert(rstate, chunk)
     assert int(rstate.t) == L
     # every shard's local tree got activity (distinct per-lane data)
-    tree = np.asarray(rstate.tree).reshape(d, 256)
-    roots = tree[:, 1]
-    assert np.all(roots > 0)
+    tree = np.asarray(rstate.tree).reshape(d, per_shard)
+    totals = tree.sum(axis=1)  # dense: flat priorities; per-shard mass
+    assert np.all(totals > 0)
 
 
 def test_sharded_update_replication_and_progress():

@@ -9,7 +9,12 @@ from rltime_tpu.history.replay import (
     replay_gather_window, replay_init, replay_insert,
     replay_sample_indices, replay_update_priorities, valid_range,
 )
-from rltime_tpu.ops import sum_tree
+from rltime_tpu.history.replay import _tree_ops
+
+
+def _leaf_prio(cfg, st, idx):
+    """Read leaf priorities via the cfg's sampler backend."""
+    return _tree_ops(cfg).get(st.tree, idx)
 
 FIELDS = {
     "obs": ((3,), jnp.float32),
@@ -66,11 +71,11 @@ def test_per_activation_delay():
     st = replay_insert(cfg, st, _chunk(cfg, 0))
     # t=4: live columns should be [0, 2) (horizon 2 behind cursor).
     live = np.nonzero(np.asarray(
-        sum_tree.get(st.tree, jnp.arange(cfg.capacity))) > 0)[0]
+        _leaf_prio(cfg, st, jnp.arange(cfg.capacity))) > 0)[0]
     np.testing.assert_array_equal(live, [0, 1])
     st = replay_insert(cfg, st, _chunk(cfg, 4))
     live = np.nonzero(np.asarray(
-        sum_tree.get(st.tree, jnp.arange(cfg.capacity))) > 0)[0]
+        _leaf_prio(cfg, st, jnp.arange(cfg.capacity))) > 0)[0]
     np.testing.assert_array_equal(live, [0, 1, 2, 3, 4, 5])
 
 
@@ -79,7 +84,7 @@ def test_per_overwrite_zeroes_dead_columns():
     for k in range(8):
         st = replay_insert(cfg, st, _chunk(cfg, 4 * k))
     # steady state (t=32): live columns = [t-T, t-horizon) = 14 leaves
-    prio = np.asarray(sum_tree.get(st.tree, jnp.arange(cfg.capacity)))
+    prio = np.asarray(_leaf_prio(cfg, st, jnp.arange(cfg.capacity)))
     assert (prio > 0).sum() == cfg.steps_per_env - cfg.horizon
     lo, hi = valid_range(cfg, st.t)
     live_cols = sorted(np.nonzero(prio > 0)[0] % cfg.steps_per_env)
@@ -122,7 +127,7 @@ def test_priority_update_and_is_weights(key):
     st2 = replay_update_priorities(cfg, st, idx["leaf"],
                                    jnp.full((8,), 3.0))
     expect_p = (3.0 + cfg.min_priority) ** cfg.alpha
-    got = sum_tree.get(st2.tree, idx["leaf"])
+    got = _leaf_prio(cfg, st2, idx["leaf"])
     np.testing.assert_allclose(np.asarray(got), expect_p, rtol=1e-5)
     # max priority tracked
     assert float(st2.max_priority) == pytest.approx(
@@ -137,11 +142,11 @@ def test_priority_update_dropped_for_overwritten(key):
     idx = replay_sample_indices(cfg, st, k1, 16)
     # Overwrite columns 0..3 (their leaves zero out).
     st = replay_insert(cfg, st, _chunk(cfg, 16))
-    dead_mask = np.asarray(sum_tree.get(st.tree, idx["leaf"])) == 0
+    dead_mask = np.asarray(_leaf_prio(cfg, st, idx["leaf"])) == 0
     assert dead_mask.any()  # stratified over 15 live leaves hits 0..3
     st2 = replay_update_priorities(cfg, st, idx["leaf"],
                                    jnp.full((16,), 9.0))
-    after = np.asarray(sum_tree.get(st2.tree, idx["leaf"]))
+    after = np.asarray(_leaf_prio(cfg, st2, idx["leaf"]))
     assert np.all(after[dead_mask] == 0.0)  # no resurrection
     assert np.all(after[~dead_mask] > 1.0)  # live ones updated
 
@@ -202,12 +207,12 @@ def test_inserted_priorities_activation():
     ck["priority"] = jnp.array([[5.0, 3.0, 2.0, 7.0]])
     st = replay_insert(cfg, st, ck)
     # t=4, horizon=2 -> cols 0,1 active with their OWN priorities
-    prio = np.asarray(sum_tree.get(st.tree, jnp.arange(4)))
+    prio = np.asarray(_leaf_prio(cfg, st, jnp.arange(4)))
     np.testing.assert_allclose(prio, [5.0, 3.0, 0.0, 0.0])
     assert float(st.max_priority) == 5.0  # tracks inserted max
     ck2 = _chunk(cfg, 4)
     ck2["priority"] = jnp.array([[1.0, 1.0, 1.0, 1.0]])
     st = replay_insert(cfg, st, ck2)
-    prio = np.asarray(sum_tree.get(st.tree, jnp.arange(8)))
+    prio = np.asarray(_leaf_prio(cfg, st, jnp.arange(8)))
     np.testing.assert_allclose(prio, [5., 3., 2., 7., 1., 1., 0., 0.])
     assert float(st.max_priority) == 7.0

@@ -8,10 +8,17 @@ total runtime is kept under ~4 minutes with a warm compile cache.
 Usage:  timeout 500 python tools/measure_tpu.py [section ...]
 Sections: update devloop h2d act   (default: all)
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+# Runnable as `python tools/measure_tpu.py` from the repo root
+# (PYTHONPATH overrides interfere with the sandbox's preloaded
+# backend plugin, so fix sys.path here instead).
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def sync(x):
