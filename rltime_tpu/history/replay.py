@@ -69,6 +69,10 @@ class ReplayConfig:
     use_inserted_priorities: bool = False
 
     def __post_init__(self):
+        if self.sampler not in ("dense", "tree"):
+            raise ValueError(
+                f"sampler must be 'dense' or 'tree', got "
+                f"{self.sampler!r}")
         if self.steps_per_env % self.chunk_len != 0:
             raise ValueError("steps_per_env must be a multiple of "
                              "chunk_len (keeps ring inserts unsplit)")

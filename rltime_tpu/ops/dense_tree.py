@@ -115,14 +115,18 @@ def sample(tree: jnp.ndarray, key, batch: int, stratified: bool = True):
     nb, bs = _block_shape(n)
     rows = tree.reshape(nb, bs)
     block_sums = jnp.sum(rows, axis=1)              # (nb,)
-    tot = jnp.sum(block_sums)
+    cumb = jnp.cumsum(block_sums)                   # (nb,) inclusive
+    # Scale AND clamp against cumb[-1] (not a separate jnp.sum whose
+    # reduction order can differ by ulps): the block search below
+    # compares against cumb, so targets must be strictly < cumb[-1]
+    # or a target could route past every live block onto padding.
+    tot = cumb[-1]
 
     u = jax.random.uniform(key, (batch,), dtype=tree.dtype)
     if stratified:
         u = (jnp.arange(batch, dtype=tree.dtype) + u) / batch
     targets = jnp.minimum(u * tot, jnp.nextafter(tot, jnp.zeros_like(tot)))
 
-    cumb = jnp.cumsum(block_sums)                   # (nb,) inclusive
     # smallest block with cumb > target  ==  #{cumb <= target}
     blk = jnp.sum(cumb[None, :] <= targets[:, None], axis=1)
     blk = jnp.minimum(blk, nb - 1).astype(jnp.int32)

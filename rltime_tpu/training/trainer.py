@@ -173,10 +173,6 @@ class Trainer:
         self._insert_update = jax.jit(
             make_insert_and_update_step(self.replay_cfg, upd, k),
             donate_argnums=(0, 1))
-        if k > 1:  # warmup-free multi-update (kept for resume paths)
-            from rltime_tpu.training.learner import make_multi_update_step
-            upd = make_multi_update_step(upd, k)
-        self._update = jax.jit(upd, donate_argnums=(0, 1))
 
         self.pool = None
         if self.loop_cfg.async_acting:
@@ -246,7 +242,10 @@ class Trainer:
         metrics = {}
         if self.actor.env_steps >= self.loop_cfg.warmup_env_steps:
             beta = jnp.float32(self._beta())
-            with self.timers.phase("update"):
+            # Post-warmup, the chunk insert is fused into the update
+            # dispatch, so this phase covers insert+update; the
+            # standalone "insert" phase only ticks during warmup.
+            with self.timers.phase("insert+update"):
                 self.train_state, self.replay_state, metrics = \
                     self._insert_update(self.train_state,
                                         self.replay_state, chunk, beta)
