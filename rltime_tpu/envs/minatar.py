@@ -185,11 +185,23 @@ class DeviceBreakout:
         return new_state, reward, terminated, truncated
 
 
-MINATAR_ENVS = {"breakout": DeviceBreakout}
+from rltime_tpu.envs.minatar_games import (  # noqa: E402
+    DeviceAsterix, DeviceFreeway, DeviceSpaceInvaders,
+)
+
+MINATAR_ENVS = {
+    "breakout": DeviceBreakout,
+    "asterix": DeviceAsterix,
+    "freeway": DeviceFreeway,
+    "space_invaders": DeviceSpaceInvaders,
+}
 
 
 def _register_handles():
-    """Config-registry handles: {"type": "minatar_breakout", ...}."""
+    """Config-registry handles: {"type": "minatar_breakout", ...}.
+
+    Extra config keys (e.g. `ramping`, `time_limit`) pass through to
+    the game constructor."""
     import numpy as np
     from rltime_tpu.config.registry import register
     from rltime_tpu.envs.base import EnvSpec
@@ -199,12 +211,10 @@ def _register_handles():
         class MinAtarHandle:
             is_device = True
 
-            def __init__(self, num_envs: int, sticky_prob: float = 0.1,
-                         time_limit: int = 2000, seed: int = 0):
+            def __init__(self, num_envs: int, seed: int = 0, **kwargs):
                 del seed  # keying comes from the actor's PRNG stream
                 self.num_envs = num_envs
-                self.inner = cls(sticky_prob=sticky_prob,
-                                 time_limit=time_limit)
+                self.inner = cls(**kwargs)
                 self.spec = EnvSpec(tuple(cls.obs_shape), np.uint8,
                                     cls.num_actions)
 
