@@ -115,7 +115,7 @@ def main():
     tstate, rstate, metrics = superstep(tstate, rstate, beta, warm)
     float(np.asarray(metrics["loss"]))
 
-    dispatches = 6
+    dispatches = 12
     # Pregenerate + pre-transfer insert chunks so the timed region
     # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
     # inserts), not host-side numpy RNG.
