@@ -470,3 +470,50 @@ def test_asterix_trainer_smoke(tmp_path):
     for _ in range(8):
         m, _ = tr.train_chunk()
     assert np.isfinite(float(m["loss"]))
+
+
+def _device_cfg(algo, game="minatar_breakout", **model_over):
+    """Device-env trainer config exercising DeviceActor's algo paths."""
+    model = {"torso": "minatar_cnn", "cnn_channels": [8], "cnn_fc": 32,
+             "head": "dueling", "dueling_hidden": 8}
+    model.update(model_over)
+    return {
+        "seed": 0,
+        "env": {"type": game, "num_envs": 8},
+        "model": model,
+        "replay": {"steps_per_env": 256, "prioritized": True},
+        "algo": {"algo": algo, "batch_size": 8, "n_step": 3,
+                 "double_q": True, "lr": 1e-3,
+                 "target_update_freq": 10,
+                 **({"num_tau": 4, "num_tau_prime": 4} if algo == "iqn"
+                    else {}),
+                 **({"burn_in": 4, "seq_len": 8} if algo == "r2d2"
+                    else {})},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 500},
+        "train": {"total_env_steps": 1024, "warmup_env_steps": 384,
+                  "chunk_len": 16, "updates_per_chunk": 1,
+                  "log_interval": 10_000,
+                  "checkpoint_interval": 10_000},
+    }
+
+
+def test_device_r2d2_pipeline(tmp_path):
+    """R2D2 fully on-device: fused acting records LSTM state into the
+    replay chunk, sequence replay consumes stored state + burn-in."""
+    from rltime_tpu.training.trainer import Trainer
+    cfg = _device_cfg("r2d2", head="linear", lstm_size=8)
+    t = Trainer(cfg, str(tmp_path / "r")).train()
+    assert t.updates_done > 0
+    assert "rnn_c" in t.replay_state.storage
+    assert t.replay_state.storage["rnn_c"].shape == (8, 256, 8)
+
+
+def test_device_iqn_pipeline(tmp_path):
+    """IQN on-device: fused acting samples policy taus inside the scan."""
+    from rltime_tpu.training.trainer import Trainer
+    cfg = _device_cfg("iqn", game="minatar_space_invaders", head="iqn",
+                      iqn_embed_dim=8, num_tau=4, num_tau_prime=4,
+                      num_tau_policy=4)
+    t = Trainer(cfg, str(tmp_path / "i")).train()
+    assert t.updates_done > 0
