@@ -56,14 +56,20 @@ def main():
     }
     rstate = replay_init(rcfg, fields)
     rng = np.random.default_rng(0)
-    # Supersteps per dispatch: each superstep = 1 chunk insert + 4
-    # updates (same per-transition work as a chunked training loop, but
-    # launched as ONE XLA program — the shape the Trainer/FusedApexTrainer
-    # run, and the only honest way to measure the device pipeline when
-    # the host link has multi-ms dispatch latency). Python-unrolled, so
-    # S also scales compile time — 4 keeps the remote compile service
-    # happy while amortizing dispatch to ~6% of the program.
-    S = 4
+    # Chunks per dispatch: each iteration = 1 chunk insert + 4 updates
+    # (same per-transition work as a chunked training loop, launched as
+    # ONE XLA program — the shape a high-throughput deployment runs
+    # with a prefetching loader, and the only honest way to measure the
+    # device pipeline when the host link has multi-ms dispatch
+    # latency). The chunk loop is a lax.scan with the replay state in
+    # the carry: XLA keeps the ring update IN PLACE across iterations
+    # (verified in HLO), so the one entry+exit relayout pair the ring's
+    # committed layout costs (~4.5 ms on the 462 MB obs ring; XLA's
+    # default layout for big u8 image arrays disagrees with the
+    # row-major layout every internal op wants) amortizes over S
+    # chunks instead of being paid per chunk. Compile time is O(1) in
+    # S because it's a scan, not an unroll.
+    S = 16
 
     def chunk(k):
         return dict(
@@ -89,15 +95,21 @@ def main():
     def superstep(tstate, rstate, beta, chunks):
         """S x (insert one chunk + 4 updates) as one XLA program.
 
-        The chunk loop is Python-unrolled (NOT lax.scan): a scan would
-        put the storage ring in the loop carry, and XLA then copies
-        the full ~460 MB obs ring every iteration instead of updating
-        it in place (tools/profile_update.py).
+        lax.scan with (train_state, replay_state) in the carry. The
+        ring insert (dynamic_update_slice) stays in place across
+        iterations — the body's row-major layout pin makes every
+        iteration agree, so the while loop carries one buffer and the
+        only ring copies left are the entry/exit relayout pair, paid
+        once per DISPATCH (S chunks), not once per chunk.
         """
-        for i in range(S):
-            ck = {k: v[i] for k, v in chunks.items()}
-            tstate, rstate, metrics = insert_update(tstate, rstate,
-                                                    ck, beta)
+        def body(carry, ck):
+            ts, rs = carry
+            ts, rs, m = insert_update(ts, rs, ck, beta)
+            return (ts, rs), m
+
+        (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
+                                            chunks)
+        metrics = jax.tree.map(lambda x: x[-1], ms)
         return tstate, rstate, metrics
 
     superstep = jax.jit(superstep, donate_argnums=(0, 1))
@@ -115,7 +127,7 @@ def main():
     tstate, rstate, metrics = superstep(tstate, rstate, beta, warm)
     float(np.asarray(metrics["loss"]))
 
-    dispatches = 12
+    dispatches = 6
     # Pregenerate + pre-transfer insert chunks so the timed region
     # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
     # inserts), not host-side numpy RNG.

@@ -94,8 +94,20 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                    local_replay_cfg: ReplayConfig, mesh: Mesh,
                    chunk_len: int, num_updates: int,
                    example_rstate: ReplayState,
-                   example_astate: FusedActorState):
-    """Build the jitted fused superstep over the mesh."""
+                   example_astate: FusedActorState,
+                   supersteps: int = 1):
+    """Build the jitted fused superstep over the mesh.
+
+    `supersteps` > 1 scans S whole supersteps inside ONE dispatch
+    (eps then shaped (S, L, E)). The replay ring rides the scan carry
+    and XLA keeps its dynamic_update_slice IN PLACE across iterations,
+    so the entry/exit relayout pair that XLA's default layout for big
+    image rings costs (the committed layout of a (E, T, H, W) array
+    disagrees with the row-major layout every internal op wants) is
+    paid once per dispatch instead of once per superstep — and host
+    dispatch latency amortizes S-fold. PRNG/eps/episode-stat flow is
+    bit-identical to S sequential dispatches with the same beta.
+    """
     from rltime_tpu.training.learner import make_update_step
     model = make_model(model_cfg)
     L = chunk_len
@@ -191,17 +203,32 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         metrics = jax.tree.map(lambda m: m[-1], ms)
         return tstate, astate, rstate, metrics
 
+    def _multi(tstate, astate, rstate, eps, beta):
+        """Scan S supersteps; eps (S, L, E_local) per shard."""
+        def body(carry, eps_t):
+            ts, a, r = carry
+            ts, a, r, m = _super(ts, a, r, eps_t, beta)
+            return (ts, a, r), m
+
+        (tstate, astate, rstate), ms = jax.lax.scan(
+            body, (tstate, astate, rstate), eps)
+        metrics = jax.tree.map(lambda x: x[-1], ms)
+        return tstate, astate, rstate, metrics
+
     rspecs = replay_partition_specs(example_rstate)
     aspecs = fused_actor_specs(example_astate)
+    inner = _super if supersteps == 1 else _multi
+    eps_spec = (P(None, "data") if supersteps == 1
+                else P(None, None, "data"))
 
     def wrapped(tstate, astate, rstate, eps, beta):
         ts_specs = jax.tree.map(lambda _: P(), tstate)
         metric_specs = jax.tree.map(
             lambda _: P(), dict(loss=0, q=0, td_abs=0, grad_norm=0,
                                 mean_weight=0))
-        f = shard_map(_super, mesh=mesh,
+        f = shard_map(inner, mesh=mesh,
                       in_specs=(ts_specs, aspecs, rspecs,
-                                P(None, "data"), P()),
+                                eps_spec, P()),
                       out_specs=(ts_specs, aspecs, rspecs,
                                  metric_specs),
                       check_vma=False)
@@ -273,11 +300,13 @@ class FusedApexTrainer:
                              fold_in_str(root, "learner"),
                              jnp.zeros((1, obs_dim))),
             NamedSharding(self.mesh, P()))
+        self.supersteps = max(
+            1, int(self.loop_cfg.supersteps_per_dispatch))
         self._super = make_superstep(
             self.env, self.model_cfg, self.algo_cfg, self.replay_cfg,
             self.mesh, self.loop_cfg.chunk_len,
             self.loop_cfg.updates_per_chunk, self.replay_state,
-            self.actor_state)
+            self.actor_state, supersteps=self.supersteps)
         self.exploration = build(config.get(
             "exploration", {"type": "epsilon_greedy"}))
         self.logger = RunLogger(result_dir, config)
@@ -294,18 +323,20 @@ class FusedApexTrainer:
                                           - a.per_beta_start)
 
     def superstep(self):
-        L = self.loop_cfg.chunk_len
-        eps = jnp.asarray(np.stack([
+        L, S = self.loop_cfg.chunk_len, self.supersteps
+        eps = np.stack([
             self.exploration.epsilons(self.e_global,
                                       self.env_steps
                                       + t * self.e_global)
-            for t in range(L)]))
+            for t in range(S * L)])
+        if S > 1:
+            eps = eps.reshape(S, L, self.e_global)
         self.train_state, self.actor_state, self.replay_state, m = \
             self._super(self.train_state, self.actor_state,
-                        self.replay_state, eps,
+                        self.replay_state, jnp.asarray(eps),
                         jnp.float32(self._beta()))
-        self.env_steps += L * self.e_global
-        self.updates_done += self.loop_cfg.updates_per_chunk
+        self.env_steps += S * L * self.e_global
+        self.updates_done += S * self.loop_cfg.updates_per_chunk
         return m
 
     def episode_stats(self):

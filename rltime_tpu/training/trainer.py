@@ -58,6 +58,10 @@ class TrainLoopConfig:
     # exact-seed reproducibility for host/device overlap.
     async_acting: bool = False
     publish_interval: int = 1        # chunks between weight publishes
+    # FusedApexTrainer only: whole supersteps scanned per dispatch
+    # (parallel/fused.py make_superstep docstring). 1 = one dispatch
+    # per superstep.
+    supersteps_per_dispatch: int = 1
 
 
 def _mk_model_cfg(model: Dict[str, Any], num_actions: int) -> ModelConfig:

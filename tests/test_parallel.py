@@ -237,3 +237,52 @@ def test_fused_superstep_end_to_end(tmp_path):
     d = t.num_shards
     tree = np.asarray(t.replay_state.tree).reshape(d, -1)
     assert np.all(tree[:, 1] > 0)
+
+
+def test_fused_multi_superstep_bit_identical(tmp_path):
+    """S supersteps scanned in ONE dispatch == S sequential dispatches
+    (same seed, constant beta): params, replay tree, cursors, stats."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+
+    def cfg(s):
+        return {
+            "seed": 7,
+            "env": {"type": "cartpole_device", "num_envs": 2},
+            "model": {"torso": "mlp", "mlp_hidden": [16],
+                      "head": "linear"},
+            "replay": {"steps_per_env": 128, "prioritized": True},
+            "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
+                     "lr": 1e-3, "target_update_freq": 10,
+                     # beta must not depend on env_steps for exact
+                     # equality (the fused dispatch holds beta fixed
+                     # across its S supersteps)
+                     "per_beta_start": 0.5, "per_beta_end": 0.5},
+            "exploration": {"type": "epsilon_greedy",
+                            "eps_start": 1.0, "eps_end": 0.1,
+                            "anneal_steps": 2000},
+            "train": {"total_env_steps": 10**9,
+                      "warmup_env_steps": 0, "chunk_len": 16,
+                      "updates_per_chunk": 2,
+                      "log_interval": 10**9,
+                      "supersteps_per_dispatch": s},
+        }
+
+    t1 = FusedApexTrainer(cfg(1), str(tmp_path / "s1"))
+    t3 = FusedApexTrainer(cfg(3), str(tmp_path / "s3"))
+    for _ in range(3):
+        t1.superstep()
+    t3.superstep()
+    assert t1.env_steps == t3.env_steps
+    assert t1.updates_done == t3.updates_done
+    for a, b in zip(jax.tree.leaves(t1.train_state.params),
+                    jax.tree.leaves(t3.train_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(t1.replay_state.tree),
+                                  np.asarray(t3.replay_state.tree))
+    assert int(t1.replay_state.t) == int(t3.replay_state.t)
+    np.testing.assert_array_equal(
+        np.asarray(t1.actor_state.ring_cursor),
+        np.asarray(t3.actor_state.ring_cursor))
+    np.testing.assert_array_equal(
+        np.asarray(t1.actor_state.ret_ring),
+        np.asarray(t3.actor_state.ret_ring))
