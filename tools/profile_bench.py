@@ -48,7 +48,7 @@ def main():
               "done": ((), jnp.bool_)}
     rstate = replay_init(rcfg, fields)
     rng = np.random.default_rng(0)
-    S = 4
+    S = 16
 
     def chunk(k):
         return dict(
@@ -67,11 +67,13 @@ def main():
     insert_update = make_insert_and_update_step(rcfg, update, 4)
 
     def superstep(tstate, rstate, beta, chunks):
-        for i in range(S):
-            ck = {k: v[i] for k, v in chunks.items()}
-            tstate, rstate, metrics = insert_update(tstate, rstate,
-                                                    ck, beta)
-        return tstate, rstate, metrics
+        def body(carry, ck):
+            ts, rs = carry
+            ts, rs, m = insert_update(ts, rs, ck, beta)
+            return (ts, rs), m
+        (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
+                                            chunks)
+        return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
 
     superstep = jax.jit(superstep, donate_argnums=(0, 1))
 
@@ -81,17 +83,17 @@ def main():
                 for k in out[0]}
 
     beta = jnp.float32(0.4)
-    for i in range(3):
+    for i in range(1):
         tstate, rstate, m = superstep(tstate, rstate, beta,
                                       stacked(20 + S * i))
     float(np.asarray(m["loss"]))
 
     tdir = "/tmp/profile_bench"
     os.system(f"rm -rf {tdir}")
-    dev_chunks = [stacked(100 + S * i) for i in range(4)]
+    dev_chunks = [stacked(100 + S * i) for i in range(2)]
     float(np.asarray(dev_chunks[-1]["reward"][0, 0, 0]))
     with jax.profiler.trace(tdir):
-        for i in range(4):
+        for i in range(2):
             tstate, rstate, m = superstep(tstate, rstate, beta,
                                           dev_chunks[i])
         float(np.asarray(m["loss"]))
@@ -122,9 +124,9 @@ def main():
         agg[name] += dur
         cnt[name] += 1
         total += dur
-    print(f"device-event total {total/1e3:.2f} ms over 4 dispatches "
+    print(f"device-event total {total/1e3:.2f} ms over 2 dispatches "
           f"x {S}x(insert+4 upd) "
-          f"({total/(4*S*4)/1e3:.3f} ms/update if exclusive)")
+          f"({total/(2*S*4)/1e3:.3f} ms/update if exclusive)")
     for name, us in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{us/1e3:9.3f} ms  x{cnt[name]:<5d} {name[:100]}")
 
