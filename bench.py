@@ -1,29 +1,147 @@
-"""Benchmark: on-device learner pipeline throughput on one TPU chip.
+"""Benchmark: on-device throughput of the two production pipelines on
+one TPU chip.
 
-Measures the steady-state jitted update cycle of the Atari
-double/dueling n-step PER config (BASELINE.json config #2 shapes):
-sum-tree sample -> frame-stack window gather -> Nature-CNN fwd/bwd ->
-Adam -> priority write-back, batch per update, plus interleaved chunk
-inserts at the matching replay ratio.
+1. LEARNER pipeline (headline metric, comparable across rounds): the
+   steady-state jitted update cycle of the Atari double/dueling n-step
+   PER config (BASELINE.json config #2 shapes), S x (chunk insert + 4
+   updates) per dispatch — built by rltime_tpu/utils/benchprog.py (the
+   same definition the profiling tools dump/trace).
+2. FULL acting+learning loop (BASELINE.md headline unit, env-steps/s):
+   the fused one-dispatch SPMD superstep (parallel/fused.py) on the
+   flagship on-chip MinAtar Breakout workload — device env dynamics +
+   policy + replay insert + PER updates, zero host round trips.
+
+Also reports achieved model TFLOP/s and MFU for the learner program:
+FLOPs from XLA's compiled cost analysis (fallback: analytic conv/fc
+count), peak = 197 TFLOP/s bf16 (TPU v5e chip datasheet figure).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "update_tflops_per_s": N, "mfu_pct_v5e_bf16": N,
+   "minatar_env_steps_per_s": N, "minatar_vs_per_chip_share": N}
 
 vs_baseline: the BASELINE.json north star is >= 1M env-steps/s
-aggregate on a v5e-16; the per-chip share is 62,500 steps/s. We report
-learner transitions/s consumed on ONE chip against that per-chip bar
-(the learner must keep up with acting for the pipeline to sustain it).
+aggregate on a v5e-16; the per-chip share is 62,500 steps/s. The
+primary value stays learner transitions/s consumed on ONE chip against
+that per-chip bar (the learner must keep up with acting for the
+pipeline to sustain it); the minatar_* keys report the acting side.
 """
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
+V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e chip (public datasheet)
+PER_CHIP_SHARE = 1_000_000 / 16
+
+
+def _bench_learner():
+    """Learner superstep bench. Returns (transitions/s, flops/dispatch)."""
+    import jax
+    from rltime_tpu.utils import benchprog
+
+    p = benchprog.build()
+    beta = jax.numpy.float32(0.4)
+
+    # compile + warmup. HARD host sync via D2H scalar pulls — on the
+    # tunneled backend block_until_ready can return before the queue
+    # drains, which inflates rates and leaves work in flight.
+    warm = p.stacked(50)
+    lowered = p.superstep.lower(p.tstate, p.rstate, beta, warm)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    tstate, rstate, metrics = p.superstep(p.tstate, p.rstate, beta,
+                                          warm)
+    float(np.asarray(metrics["loss"]))
+
+    dispatches = 6
+    # Pregenerate + pre-transfer insert chunks so the timed region
+    # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
+    # inserts), not host-side numpy RNG.
+    device_chunks = [p.stacked(100 + p.S * i) for i in range(dispatches)]
+    float(np.asarray(device_chunks[-1]["reward"][0, 0, 0]))
+
+    t0 = time.perf_counter()
+    for i in range(dispatches):
+        tstate, rstate, metrics = p.superstep(tstate, rstate, beta,
+                                              device_chunks[i])
+    float(np.asarray(metrics["loss"]))   # drains the whole chain
+    dt = time.perf_counter() - t0
+
+    updates = dispatches * p.S * p.K
+    tx_per_s = updates * p.batch / dt
+    if flops is None:
+        flops = _analytic_flops_per_dispatch(p)
+    flops_per_s = flops * dispatches / dt
+    return tx_per_s, flops_per_s
+
+
+def _analytic_flops_per_dispatch(p):
+    """Fallback analytic FLOPs: Nature-CNN fwd (conv+fc matmul MACs*2)
+    x batch x 3 forwards (online s, target s', online s') + ~2x fwd
+    for the backward of the one differentiated forward, per update."""
+    convs = [(84, 8, 4, 4, 32), (20, 4, 2, 32, 64), (9, 3, 1, 64, 64)]
+    f = 0.0
+    for size, k, s, cin, cout in convs:
+        out = (size - k) // s + 1
+        f += 2.0 * out * out * cout * k * k * cin
+    f += 2.0 * 7 * 7 * 64 * 512            # fc
+    f += 2.0 * (512 * 256 * 2 + 256 * 7)   # dueling head (V+A)
+    per_update = p.batch * f * (3 + 2)
+    return per_update * p.S * p.K
+
+
+def _bench_minatar_fused():
+    """Full on-chip acting+learning loop: fused superstep, MinAtar
+    Breakout flagship shapes. Returns env-steps/s."""
+    import jax
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    from rltime_tpu.parallel.mesh import make_mesh
+
+    cfg = {
+        "seed": 0,
+        "env": {"type": "minatar_breakout", "num_envs": 256},
+        "model": {"torso": "minatar_cnn", "cnn_channels": [16],
+                  "cnn_fc": 128, "head": "dueling"},
+        "replay": {"steps_per_env": 512, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 256, "n_step": 3,
+                 "double_q": True, "lr": 2.5e-4,
+                 "target_update_freq": 500},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.05, "anneal_steps": 200_000},
+        "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
+                  "chunk_len": 16, "updates_per_chunk": 32,
+                  "log_interval": 10**9,
+                  "supersteps_per_dispatch": 4},
+    }
+    t = FusedApexTrainer(cfg, tempfile.mkdtemp(),
+                         mesh=make_mesh(jax.devices()[:1]))
+    # compile + warm (also fills the replay past sampling range)
+    for _ in range(2):
+        m = t.superstep()
+    float(np.asarray(m["loss"]))
+
+    dispatches = 6
+    s0 = t.env_steps
+    t0 = time.perf_counter()
+    for _ in range(dispatches):
+        m = t.superstep()
+    float(np.asarray(m["loss"]))
+    dt = time.perf_counter() - t0
+    return (t.env_steps - s0) / dt
+
 
 def main():
-    import os
     import jax
-    import jax.numpy as jnp
 
     # Persistent compile cache: first-run compiles through the remote
     # compile service are minutes; cached reruns are seconds.
@@ -33,123 +151,20 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from rltime_tpu.history.replay import ReplayConfig, replay_init, replay_insert
-    from rltime_tpu.models.policy import ModelConfig
-    from rltime_tpu.training.learner import (
-        AlgoConfig, make_train_state, make_update_step,
-    )
+    tx_per_s, flops_per_s = _bench_learner()
+    env_steps_per_s = _bench_minatar_fused()
 
-    E, T, L, F, n_step = 64, 1024, 32, 4, 3
-    batch = 256
-    rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=n_step,
-                        chunk_len=L, lookback=F - 1, prioritized=True)
-    mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
-                       head="dueling", compute_dtype="bfloat16")
-    acfg = AlgoConfig(algo="dqn", batch_size=batch, n_step=n_step,
-                      double_q=True, lr=1e-4, target_update_freq=500)
-    fields = {
-        "obs": ((84, 84), jnp.uint8),
-        "action": ((), jnp.int32),
-        "reward": ((), jnp.float32),
-        "terminated": ((), jnp.bool_),
-        "done": ((), jnp.bool_),
-    }
-    rstate = replay_init(rcfg, fields)
-    rng = np.random.default_rng(0)
-    # Chunks per dispatch: each iteration = 1 chunk insert + 4 updates
-    # (same per-transition work as a chunked training loop, launched as
-    # ONE XLA program — the shape a high-throughput deployment runs
-    # with a prefetching loader, and the only honest way to measure the
-    # device pipeline when the host link has multi-ms dispatch
-    # latency). The chunk loop is a lax.scan with the replay state in
-    # the carry: XLA keeps the ring update IN PLACE across iterations
-    # (verified in HLO), so the one entry+exit relayout pair the ring's
-    # committed layout costs (~4.5 ms on the 462 MB obs ring; XLA's
-    # default layout for big u8 image arrays disagrees with the
-    # row-major layout every internal op wants) amortizes over S
-    # chunks instead of being paid per chunk. Compile time is O(1) in
-    # S because it's a scan, not an unroll.
-    S = 16
-
-    def chunk(k):
-        return dict(
-            obs=rng.integers(0, 255, size=(E, L, 84, 84),
-                             dtype=np.uint8),
-            action=rng.integers(0, 6, size=(E, L)).astype(np.int32),
-            reward=rng.normal(size=(E, L)).astype(np.float32),
-            terminated=(rng.random((E, L)) < 0.02),
-            done=(rng.random((E, L)) < 0.02),
-        )
-
-    # warm the ring far enough for sampling
-    for k in range(8):
-        rstate = replay_insert(rcfg, rstate, chunk(k))
-
-    ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
-    tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
-    update = make_update_step(mcfg, acfg, rcfg, F, False)
-
-    from rltime_tpu.training.learner import make_insert_and_update_step
-    insert_update = make_insert_and_update_step(rcfg, update, 4)
-
-    def superstep(tstate, rstate, beta, chunks):
-        """S x (insert one chunk + 4 updates) as one XLA program.
-
-        lax.scan with (train_state, replay_state) in the carry. The
-        ring insert (dynamic_update_slice) stays in place across
-        iterations — the body's row-major layout pin makes every
-        iteration agree, so the while loop carries one buffer and the
-        only ring copies left are the entry/exit relayout pair, paid
-        once per DISPATCH (S chunks), not once per chunk.
-        """
-        def body(carry, ck):
-            ts, rs = carry
-            ts, rs, m = insert_update(ts, rs, ck, beta)
-            return (ts, rs), m
-
-        (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
-                                            chunks)
-        metrics = jax.tree.map(lambda x: x[-1], ms)
-        return tstate, rstate, metrics
-
-    superstep = jax.jit(superstep, donate_argnums=(0, 1))
-
-    def stacked(base):
-        out = [chunk(base + i) for i in range(S)]
-        return {k: jnp.asarray(np.stack([c[k] for c in out]))
-                for k in out[0]}
-
-    beta = jnp.float32(0.4)
-    # compile + warmup. HARD host sync via D2H scalar pulls — on the
-    # tunneled backend block_until_ready can return before the queue
-    # drains, which inflates rates and leaves work in flight.
-    warm = stacked(50)
-    tstate, rstate, metrics = superstep(tstate, rstate, beta, warm)
-    float(np.asarray(metrics["loss"]))
-
-    dispatches = 6
-    # Pregenerate + pre-transfer insert chunks so the timed region
-    # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
-    # inserts), not host-side numpy RNG.
-    device_chunks = [stacked(100 + S * i) for i in range(dispatches)]
-    float(np.asarray(device_chunks[-1]["reward"][0, 0, 0]))
-
-    t0 = time.perf_counter()
-    for i in range(dispatches):
-        tstate, rstate, metrics = superstep(tstate, rstate, beta,
-                                            device_chunks[i])
-    float(np.asarray(metrics["loss"]))   # drains the whole chain
-    dt = time.perf_counter() - t0
-
-    iters = dispatches * S * 4           # learner updates executed
-    updates_per_s = iters / dt
-    transitions_per_s = updates_per_s * batch
-    per_chip_target = 1_000_000 / 16
     print(json.dumps({
         "metric": "learner_transitions_per_s_single_chip",
-        "value": round(transitions_per_s, 1),
+        "value": round(tx_per_s, 1),
         "unit": "transitions/s",
-        "vs_baseline": round(transitions_per_s / per_chip_target, 3),
+        "vs_baseline": round(tx_per_s / PER_CHIP_SHARE, 3),
+        "update_tflops_per_s": round(flops_per_s / 1e12, 3),
+        "mfu_pct_v5e_bf16": round(100 * flops_per_s / V5E_BF16_PEAK,
+                                  2),
+        "minatar_env_steps_per_s": round(env_steps_per_s, 1),
+        "minatar_vs_per_chip_share": round(
+            env_steps_per_s / PER_CHIP_SHARE, 3),
     }))
 
 

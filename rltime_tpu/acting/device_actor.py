@@ -42,8 +42,19 @@ class DeviceActorState(struct.PyTreeNode):
     ring_cursor: jnp.ndarray  # int32 total completions ever
 
 
-def make_device_rollout(env, cfg: ModelConfig, chunk_len: int):
-    """Build the jitted fused rollout for a device env."""
+def make_device_rollout(env, cfg: ModelConfig, chunk_len: int,
+                        compute_priorities: bool = False,
+                        gamma: float = 0.99):
+    """Build the jitted fused rollout for a device env.
+
+    With `compute_priorities`, the chunk carries a "priority" field:
+    the Ape-X actor-side 1-step TD estimate |r_t + g*(1-term_t)*
+    max_a Q(s_{t+1}) - Q(s_t, a_t)| (SURVEY.md §0 item 5), computed
+    in-register during the scan; only the final column needs one
+    extra forward on the post-chunk obs. Keys for that forward are
+    DERIVED (fold_in), not consumed, so the actor PRNG stream is
+    identical with or without priorities.
+    """
     model = make_model(cfg)
     L = chunk_len
 
@@ -90,6 +101,10 @@ def make_device_rollout(env, cfg: ModelConfig, chunk_len: int):
 
         rec = dict(obs=obs, action=actions, reward=rew,
                    terminated=term, done=done)
+        if compute_priorities:
+            rec["q_sa"] = jnp.take_along_axis(
+                qv, actions[:, None], axis=-1)[:, 0]
+            rec["q_best"] = jnp.max(qv, axis=-1)
         if cfg.recurrent:
             rec["rnn_c"] = stored_rnn[0]
             rec["rnn_h"] = stored_rnn[1]
@@ -99,10 +114,33 @@ def make_device_rollout(env, cfg: ModelConfig, chunk_len: int):
             ret_ring=ret_ring, len_ring=len_ring, ring_cursor=cursor)
         return new_state, rec
 
+    def final_qbest(params, state: DeviceActorState):
+        obs = env.observe(state.env_state)
+        rnn = state.rnn
+        if cfg.recurrent:
+            m = (1.0 - state.done_prev.astype(jnp.float32))[:, None]
+            rnn = jax.tree.map(lambda s: s * m, rnn)
+        taus = None
+        if cfg.is_iqn:
+            taus = jax.random.uniform(
+                jax.random.fold_in(state.key, 0x9E37),
+                (obs.shape[0], cfg.num_tau_policy))
+        q, _ = model.apply(params, obs, rnn, taus)
+        return jnp.max(q_values(cfg, q), axis=-1)
+
     @functools.partial(jax.jit, donate_argnums=(1,))
     def rollout(params, state: DeviceActorState, eps):
         state, recs = jax.lax.scan(
             lambda s, e: body(params, s, e), state, eps, length=L)
+        if compute_priorities:
+            q_sa = recs.pop("q_sa")          # (L, E)
+            q_best = recs.pop("q_best")      # (L, E)
+            q_last = final_qbest(params, state)
+            q_next = jnp.concatenate([q_best[1:], q_last[None]],
+                                     axis=0)
+            nonterm = 1.0 - recs["terminated"].astype(jnp.float32)
+            recs["priority"] = jnp.abs(
+                recs["reward"] + gamma * nonterm * q_next - q_sa)
         # (L, E, ...) -> (E, L, ...)
         chunk = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
         return state, chunk
@@ -114,12 +152,15 @@ class DeviceActor:
     """Actor-interface adapter over the fused device rollout."""
 
     def __init__(self, env, num_envs: int, cfg: ModelConfig,
-                 exploration, key, chunk_len: int):
+                 exploration, key, chunk_len: int,
+                 compute_priorities: bool = False,
+                 gamma: float = 0.99):
         self.env = env
         self.cfg = cfg
         self.num_envs = num_envs
         self.exploration = exploration
         self.chunk_len = chunk_len
+        self.compute_priorities = compute_priorities
         k_env, k_act = jax.random.split(key)
         env_state = env.reset(k_env, num_envs)
         self.state = DeviceActorState(
@@ -134,7 +175,9 @@ class DeviceActor:
             ret_ring=jnp.array(np.zeros((STATS_RING,), np.float32)),
             len_ring=jnp.array(np.zeros((STATS_RING,), np.float32)),
             ring_cursor=jnp.zeros((), jnp.int32))
-        self._rollout = make_device_rollout(env, cfg, chunk_len)
+        self._rollout = make_device_rollout(
+            env, cfg, chunk_len, compute_priorities=compute_priorities,
+            gamma=gamma)
         self.env_steps = 0
         self._stats_popped = 0
 

@@ -1,22 +1,30 @@
 """Fused SPMD superstep: the whole Ape-X iteration as ONE XLA program.
 
-For device-resident envs (envs/device.py), nothing in the train loop
-needs the host at all — so the TPU-native end-state is a single
-shard_map'd computation over the ('data','model') mesh in which every
-device, per superstep:
+For device-resident envs (envs/device.py, envs/minatar*.py), nothing
+in the train loop needs the host at all — so the TPU-native end-state
+is a single shard_map'd computation over the ('data','model') mesh in
+which every device, per superstep:
 
   1. scans `chunk_len` env+policy steps over its OWN env lanes
      (per-shard PRNG streams; Ape-X eps ladder sliced per lane),
   2. inserts the chunk into its LOCAL replay shard (per-shard sum
-     tree),
-  3. runs K learner updates, `pmean`ing gradients over ICI — params
-     stay replicated, target sync is free.
+     tree), optionally with actor-side initial priorities (1-step
+     |TD| computed in-register during acting — SURVEY.md §0 item 5),
+  3. runs K learner updates (DQN/IQN feed-forward or R2D2 sequence),
+     `pmean`ing gradients over ICI — params stay replicated, target
+     sync is free.
 
 Host involvement per superstep: ONE dispatch + the logged scalars.
 This composes the unchanged building blocks: envs/device.py dynamics,
-history/replay.py insert/sample, training/learner.py update — under a
-single shard_map; SURVEY.md §3.5's boundary diagram collapses to one
-box.
+history/replay.py insert/sample, training/learner.py +
+training/r2d2.py updates — under a single shard_map; SURVEY.md §3.5's
+boundary diagram collapses to one box.
+
+This is the FLAGSHIP training path for device envs: reachable from the
+CLI via {"train": {"trainer": "fused"}} (train.py), with warmup,
+checkpoint/resume, and image observations (uint8 rings) supported.
+Bit-identity with the 2-dispatch Trainer+DeviceActor path at d=1 is
+proven in tests/test_parallel.py::test_fused_matches_trainer_path.
 
 Sharding layout (leading-axis 'data' everywhere, like parallel/mesh):
   env lanes (d*E_local, ...), stat rings (d*RING,), per-shard scalars
@@ -69,7 +77,10 @@ def init_fused_actor_state(env, cfg: ModelConfig, e_local: int,
     keys = jax.random.split(key, 2 * d)
     # Per-shard env states: array leaves concatenate on the lane axis,
     # PRNG-key leaves stack to (S,) so each shard owns its own stream.
-    shards = [env.reset(keys[d + i], e_local) for i in range(d)]
+    # Key order (env keys first, actor streams second) matches
+    # DeviceActor's `k_env, k_act = split(key)` so the d=1 mesh is
+    # bit-identical to the Trainer+DeviceActor path.
+    shards = [env.reset(keys[i], e_local) for i in range(d)]
     env_state = jax.tree.map(
         lambda *xs: (jnp.stack(xs) if _is_key(xs[0])
                      else jnp.concatenate(xs, axis=0)), *shards)
@@ -77,7 +88,7 @@ def init_fused_actor_state(env, cfg: ModelConfig, e_local: int,
         env_state=env_state,
         done_prev=jnp.ones((E,), bool),
         rnn=initial_rnn_state(cfg, E),
-        key=keys[:d],
+        key=keys[d:],
         ep_ret=jnp.array(np.zeros((E,), np.float32)),
         ep_len=jnp.array(np.zeros((E,), np.int32)),
         ret_ring=jnp.array(np.zeros((d * STATS_RING,), np.float32)),
@@ -90,30 +101,20 @@ def fused_actor_specs(state: FusedActorState) -> FusedActorState:
     return jax.tree.map(lambda _: P("data"), state)
 
 
-def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
-                   local_replay_cfg: ReplayConfig, mesh: Mesh,
-                   chunk_len: int, num_updates: int,
-                   example_rstate: ReplayState,
-                   example_astate: FusedActorState,
-                   supersteps: int = 1):
-    """Build the jitted fused superstep over the mesh.
+def make_act_phase(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
+                   chunk_len: int, compute_priorities: bool = False):
+    """Build act(params, astate, eps (L, E)) -> (astate, chunk).
 
-    `supersteps` > 1 scans S whole supersteps inside ONE dispatch
-    (eps then shaped (S, L, E)). The replay ring rides the scan carry
-    and XLA keeps its dynamic_update_slice IN PLACE across iterations,
-    so the entry/exit relayout pair that XLA's default layout for big
-    image rings costs (the committed layout of a (E, T, H, W) array
-    disagrees with the row-major layout every internal op wants) is
-    paid once per dispatch instead of once per superstep — and host
-    dispatch latency amortizes S-fold. PRNG/eps/episode-stat flow is
-    bit-identical to S sequential dispatches with the same beta.
+    The per-shard acting scan shared by the full superstep and the
+    warmup (act+insert only) program. With `compute_priorities`, the
+    emitted chunk carries a "priority" field: the Ape-X actor-side
+    1-step TD estimate |r_t + g*(1-term_t)*max_a Q(s_{t+1}) - Q(s_t,
+    a_t)| (SURVEY.md §0 item 5), computed entirely in-register — the
+    Q values are already live during acting; only the final column
+    needs one extra forward pass on the post-chunk observation.
     """
-    from rltime_tpu.training.learner import make_update_step
     model = make_model(model_cfg)
     L = chunk_len
-    local_update = make_update_step(
-        model_cfg, algo_cfg, local_replay_cfg, frame_stack=1,
-        flatten=True, axis_name="data")
 
     def act_body(params, carry, eps_t):
         astate = carry
@@ -134,8 +135,8 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         E = obs.shape[0]
         greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
         explore = jax.random.uniform(ekey, (E,)) < eps_t
-        rand_a = jax.random.randint(akey, (E,), 0,
-                                    model_cfg.num_actions, jnp.int32)
+        rand_a = jax.random.randint(
+            akey, (E,), 0, model_cfg.num_actions, jnp.int32)
         actions = jnp.where(explore, rand_a, greedy)
         # unwrap the per-shard (1,)-shaped env key for the step
         es = jax.tree.map(
@@ -156,6 +157,10 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         cursor = cursor + offs[-1]
         rec = dict(obs=obs, action=actions, reward=rew,
                    terminated=term, done=done)
+        if compute_priorities:
+            rec["q_sa"] = jnp.take_along_axis(
+                qv, actions[:, None], axis=-1)[:, 0]
+            rec["q_best"] = jnp.max(qv, axis=-1)
         if model_cfg.recurrent:
             rec["rnn_c"] = stored_rnn[0]
             rec["rnn_h"] = stored_rnn[1]
@@ -168,12 +173,83 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             ring_cursor=cursor[None])
         return astate, rec
 
+    def final_qbest(params, astate):
+        """max_a Q on the post-chunk obs — bootstrap for column L-1.
+
+        Keys are DERIVED (fold_in), not consumed: the carried actor
+        key stream is identical with/without priority computation.
+        """
+        obs = env.observe(astate.env_state)
+        rnn = astate.rnn
+        if model_cfg.recurrent:
+            m = (1.0 - astate.done_prev.astype(jnp.float32))[:, None]
+            rnn = jax.tree.map(lambda s: s * m, rnn)
+        taus = None
+        if model_cfg.is_iqn:
+            taus = jax.random.uniform(
+                jax.random.fold_in(astate.key[0], 0x9E37),
+                (obs.shape[0], model_cfg.num_tau_policy))
+        q, _ = model.apply(params, obs, rnn, taus)
+        return jnp.max(q_values(model_cfg, q), axis=-1)
+
+    def act(params, astate, eps):
+        astate, recs = jax.lax.scan(
+            lambda c, e: act_body(params, c, e), astate, eps,
+            length=L)
+        if compute_priorities:
+            q_sa = recs.pop("q_sa")          # (L, E)
+            q_best = recs.pop("q_best")      # (L, E)
+            q_last = final_qbest(params, astate)
+            q_next = jnp.concatenate([q_best[1:], q_last[None]],
+                                     axis=0)
+            nonterm = 1.0 - recs["terminated"].astype(jnp.float32)
+            recs["priority"] = jnp.abs(
+                recs["reward"] + algo_cfg.gamma * nonterm * q_next
+                - q_sa)
+        chunk = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+        return astate, chunk
+
+    return act
+
+
+def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
+                   local_replay_cfg: ReplayConfig, mesh: Mesh,
+                   chunk_len: int, num_updates: int,
+                   example_rstate: ReplayState,
+                   example_astate: FusedActorState,
+                   supersteps: int = 1,
+                   frame_stack: int = 1,
+                   flatten: bool = True,
+                   compute_priorities: bool = False):
+    """Build the jitted fused superstep over the mesh.
+
+    `supersteps` > 1 scans S whole supersteps inside ONE dispatch (eps
+    then shaped (S, L, E), beta shaped (S,) — one annealed value per
+    superstep, so numerics are bit-identical to S sequential
+    dispatches). The replay ring rides the scan carry and XLA keeps
+    its dynamic_update_slice IN PLACE across iterations, so the
+    entry/exit relayout pair that XLA's default layout for big image
+    rings costs (the committed layout of a (E, T, H, W) array
+    disagrees with the row-major layout every internal op wants) is
+    paid once per dispatch instead of once per superstep — and host
+    dispatch latency amortizes S-fold.
+    """
+    if algo_cfg.algo == "r2d2":
+        from rltime_tpu.training.r2d2 import make_r2d2_update_step
+        local_update = make_r2d2_update_step(
+            model_cfg, algo_cfg, local_replay_cfg, frame_stack,
+            flatten, axis_name="data")
+    else:
+        from rltime_tpu.training.learner import make_update_step
+        local_update = make_update_step(
+            model_cfg, algo_cfg, local_replay_cfg, frame_stack,
+            flatten, axis_name="data")
+    act = make_act_phase(env, model_cfg, algo_cfg, chunk_len,
+                         compute_priorities)
+
     def _super(tstate, astate, rstate, eps, beta):
         # 1) act L steps over the local lanes
-        astate, recs = jax.lax.scan(
-            lambda c, e: act_body(tstate.params, c, e), astate, eps,
-            length=L)
-        chunk = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+        astate, chunk = act(tstate.params, astate, eps)
         # 2) local replay insert
         rstate = replay_insert(local_replay_cfg, rstate, chunk)
         rstate = rstate.replace(
@@ -203,15 +279,16 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         metrics = jax.tree.map(lambda m: m[-1], ms)
         return tstate, astate, rstate, metrics
 
-    def _multi(tstate, astate, rstate, eps, beta):
-        """Scan S supersteps; eps (S, L, E_local) per shard."""
-        def body(carry, eps_t):
+    def _multi(tstate, astate, rstate, eps, betas):
+        """Scan S supersteps; eps (S, L, E_local), betas (S,)."""
+        def body(carry, xs):
+            eps_t, beta_t = xs
             ts, a, r = carry
-            ts, a, r, m = _super(ts, a, r, eps_t, beta)
+            ts, a, r, m = _super(ts, a, r, eps_t, beta_t)
             return (ts, a, r), m
 
         (tstate, astate, rstate), ms = jax.lax.scan(
-            body, (tstate, astate, rstate), eps)
+            body, (tstate, astate, rstate), (eps, betas))
         metrics = jax.tree.map(lambda x: x[-1], ms)
         return tstate, astate, rstate, metrics
 
@@ -237,16 +314,58 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     return jax.jit(wrapped, donate_argnums=(0, 1, 2))
 
 
+def make_warm_superstep(env, model_cfg: ModelConfig,
+                        algo_cfg: AlgoConfig,
+                        local_replay_cfg: ReplayConfig, mesh: Mesh,
+                        chunk_len: int,
+                        example_rstate: ReplayState,
+                        example_astate: FusedActorState,
+                        compute_priorities: bool = False):
+    """Warmup program: act + insert, NO learner updates.
+
+    Mirrors Trainer's warmup semantics (fill replay before the first
+    update; the learner PRNG stream is untouched) so the fused path
+    honors `warmup_env_steps` and stays bit-compatible with the
+    2-dispatch path across the warmup boundary.
+    """
+    act = make_act_phase(env, model_cfg, algo_cfg, chunk_len,
+                         compute_priorities)
+
+    def _warm(params, astate, rstate, eps):
+        astate, chunk = act(params, astate, eps)
+        rstate = replay_insert(local_replay_cfg, rstate, chunk)
+        rstate = rstate.replace(
+            t=jax.lax.pmax(rstate.t, "data"),
+            max_priority=jax.lax.pmax(rstate.max_priority, "data"))
+        return astate, rstate
+
+    rspecs = replay_partition_specs(example_rstate)
+    aspecs = fused_actor_specs(example_astate)
+
+    def wrapped(params, astate, rstate, eps):
+        p_specs = jax.tree.map(lambda _: P(), params)
+        f = shard_map(_warm, mesh=mesh,
+                      in_specs=(p_specs, aspecs, rspecs,
+                                P(None, "data")),
+                      out_specs=(aspecs, rspecs),
+                      check_vma=False)
+        return f(params, astate, rstate, eps)
+
+    return jax.jit(wrapped, donate_argnums=(1, 2))
+
+
 class FusedApexTrainer:
     """Driver for the fused SPMD superstep (device envs only).
 
-    One host dispatch per superstep covers acting + insert + K
-    updates across the whole mesh. Config shape matches Trainer
-    ("env": {"type": "<name>_device", "num_envs": PER-DEVICE lanes}).
+    The flagship path for on-chip envs: config shape matches Trainer
+    ("env": {"type": "minatar_breakout"|"cartpole_device"|...,
+    "num_envs": PER-DEVICE lanes}); select it with
+    {"train": {"trainer": "fused"}} from the CLI. Supports warmup,
+    image observations (uint8 replay rings), DQN/IQN/R2D2 updates,
+    actor-side initial priorities, checkpoints, and resume.
     """
 
     def __init__(self, config, result_dir: str, mesh=None):
-        from rltime_tpu.envs.device import make_device_env
         from rltime_tpu.parallel.mesh import (
             make_mesh, sharded_replay_init)
         from rltime_tpu.training.learner import make_train_state
@@ -255,32 +374,45 @@ class FusedApexTrainer:
         from rltime_tpu.config.config import build
         from rltime_tpu.utils.loggers import RunLogger
         from rltime_tpu.utils.prng import fold_in_str
+        import rltime_tpu.envs  # noqa: F401  (registers env types)
 
         self.config = config
+        self.result_dir = result_dir
         seed = int(config.get("seed", 0))
         root = jax.random.key(seed)
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.shape["data"]
         self.num_shards = d
 
-        env_name = config["env"]["type"].replace("_device", "")
-        env_kwargs = {k: v for k, v in config["env"].items()
-                      if k not in ("type", "num_envs", "seed")}
-        self.env = make_device_env(env_name, **env_kwargs)
+        handle = build(config["env"], seed=seed)
+        if not getattr(handle, "is_device", False):
+            raise ValueError(
+                "FusedApexTrainer requires a device-resident env "
+                f"(got {config['env']['type']!r}); use the default "
+                "Trainer for host envs")
+        self.env = handle.inner
+        spec = handle.spec
         e_local = int(config["env"]["num_envs"])
         self.e_global = e_local * d
         self.model_cfg = _mk_model_cfg(
-            config.get("model", {}), self.env.num_actions)
+            config.get("model", {}), spec.num_actions)
         self.algo_cfg = AlgoConfig(**config.get("algo", {}))
         self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
+        if self.algo_cfg.algo == "r2d2":
+            from rltime_tpu.training.r2d2 import r2d2_horizon
+            horizon = r2d2_horizon(self.algo_cfg)
+        else:
+            horizon = self.algo_cfg.n_step
         self.replay_cfg = ReplayConfig(
-            num_envs=e_local, horizon=self.algo_cfg.n_step,
+            num_envs=e_local, horizon=horizon,
             chunk_len=self.loop_cfg.chunk_len,
             **config.get("replay", {}))
+        self.flatten = len(spec.obs_shape) == 1
 
-        obs_dim = int(np.prod(self.env.obs_shape))
+        obs_jdt = (jnp.uint8 if spec.obs_dtype == np.uint8
+                   else jnp.float32)
         fields = {
-            "obs": (self.env.obs_shape, jnp.float32),
+            "obs": (spec.obs_shape, obs_jdt),
             "action": ((), jnp.int32),
             "reward": ((), jnp.float32),
             "terminated": ((), jnp.bool_),
@@ -290,52 +422,98 @@ class FusedApexTrainer:
             H = self.model_cfg.lstm_size
             fields["rnn_c"] = ((H,), jnp.float32)
             fields["rnn_h"] = ((H,), jnp.float32)
+        if self.replay_cfg.use_inserted_priorities:
+            fields["priority"] = ((), jnp.float32)
         self.replay_state = sharded_replay_init(
             self.replay_cfg, d, fields, self.mesh)
         self.actor_state = init_fused_actor_state(
             self.env, self.model_cfg, e_local, d,
             fold_in_str(root, "actor"), self.mesh)
+        if self.flatten:
+            ex_obs = jnp.zeros(
+                (1, int(np.prod(spec.obs_shape))), jnp.float32)
+        else:
+            ex_obs = jnp.zeros((1, 1) + tuple(spec.obs_shape),
+                               obs_jdt)
         self.train_state = jax.device_put(
             make_train_state(self.model_cfg, self.algo_cfg,
-                             fold_in_str(root, "learner"),
-                             jnp.zeros((1, obs_dim))),
+                             fold_in_str(root, "learner"), ex_obs),
             NamedSharding(self.mesh, P()))
         self.supersteps = max(
             1, int(self.loop_cfg.supersteps_per_dispatch))
+        prio = self.replay_cfg.use_inserted_priorities
         self._super = make_superstep(
             self.env, self.model_cfg, self.algo_cfg, self.replay_cfg,
             self.mesh, self.loop_cfg.chunk_len,
             self.loop_cfg.updates_per_chunk, self.replay_state,
-            self.actor_state, supersteps=self.supersteps)
+            self.actor_state, supersteps=self.supersteps,
+            frame_stack=1, flatten=self.flatten,
+            compute_priorities=prio)
+        self._warm_super = None
+        if self.loop_cfg.warmup_env_steps > 0:
+            self._warm_super = make_warm_superstep(
+                self.env, self.model_cfg, self.algo_cfg,
+                self.replay_cfg, self.mesh, self.loop_cfg.chunk_len,
+                self.replay_state, self.actor_state,
+                compute_priorities=prio)
         self.exploration = build(config.get(
             "exploration", {"type": "epsilon_greedy"}))
         self.logger = RunLogger(result_dir, config)
         self.env_steps = 0
         self.updates_done = 0
-        self._warm = False
         self._stats_popped = [0] * d
+        if self.loop_cfg.resume:
+            self._try_resume()
 
-    def _beta(self):
+    def _beta_at(self, env_steps: int) -> float:
         a = self.algo_cfg
-        frac = min(self.env_steps
+        frac = min(env_steps
                    / max(self.loop_cfg.total_env_steps, 1), 1.0)
         return a.per_beta_start + frac * (a.per_beta_end
                                           - a.per_beta_start)
 
-    def superstep(self):
-        L, S = self.loop_cfg.chunk_len, self.supersteps
-        eps = np.stack([
+    def _eps(self, num_steps: int):
+        """Host-side eps schedule for the next `num_steps` act steps."""
+        return np.stack([
             self.exploration.epsilons(self.e_global,
                                       self.env_steps
                                       + t * self.e_global)
-            for t in range(S * L)])
+            for t in range(num_steps)])
+
+    def superstep(self):
+        """One dispatch: S full supersteps, or one warmup act+insert.
+
+        Warmup semantics mirror Trainer.train_chunk: a chunk trains
+        iff the post-chunk env_steps counter has reached
+        `warmup_env_steps`.
+        """
+        L, S = self.loop_cfg.chunk_len, self.supersteps
+        per_chunk = L * self.e_global
+        if (self._warm_super is not None
+                and self.env_steps + per_chunk
+                < self.loop_cfg.warmup_env_steps):
+            eps = jnp.asarray(self._eps(L))
+            self.actor_state, self.replay_state = self._warm_super(
+                self.train_state.params, self.actor_state,
+                self.replay_state, eps)
+            self.env_steps += per_chunk
+            return {}
+        eps = self._eps(S * L)
+        # Per-superstep beta, annealed on the POST-chunk step counter
+        # (same point Trainer samples it) so S-scanned dispatches are
+        # bit-identical to S sequential ones even while beta anneals.
+        betas = np.array(
+            [self._beta_at(self.env_steps + (i + 1) * per_chunk)
+             for i in range(S)], np.float32)
         if S > 1:
             eps = eps.reshape(S, L, self.e_global)
+            beta_arg = jnp.asarray(betas)
+        else:
+            beta_arg = jnp.float32(betas[0])
         self.train_state, self.actor_state, self.replay_state, m = \
             self._super(self.train_state, self.actor_state,
-                        self.replay_state, jnp.asarray(eps),
-                        jnp.float32(self._beta()))
-        self.env_steps += S * L * self.e_global
+                        self.replay_state, jnp.asarray(eps), beta_arg)
+        self.env_steps += S * per_chunk
         self.updates_done += S * self.loop_cfg.updates_per_chunk
         return m
 
@@ -354,11 +532,57 @@ class FusedApexTrainer:
             self._stats_popped[s] = int(cursors[s])
         return rets
 
+    # ----- checkpointing (SURVEY.md §5.4 on the fused path) -----
+    def _host_state(self):
+        return dict(env_steps=self.env_steps,
+                    updates=self.updates_done,
+                    stats_popped=list(self._stats_popped))
+
+    def save_checkpoint(self):
+        from rltime_tpu.training import checkpoint as ckpt_lib
+        rp = (jax.device_get(self.replay_state)
+              if self.loop_cfg.checkpoint_replay else None)
+        return ckpt_lib.save(
+            self.result_dir, self.env_steps,
+            jax.device_get(self.train_state), self._host_state(), rp,
+            extra={"actor_state": jax.device_get(self.actor_state)})
+
+    def _try_resume(self):
+        from rltime_tpu.training import checkpoint as ckpt_lib
+        step = ckpt_lib.latest_step(self.result_dir)
+        if step is None:
+            return
+        example = {"train_state": jax.device_get(self.train_state),
+                   "host_state": self._host_state(),
+                   "actor_state": jax.device_get(self.actor_state)}
+        if self.loop_cfg.checkpoint_replay:
+            example["replay_state"] = jax.device_get(self.replay_state)
+        restored = ckpt_lib.restore(self.result_dir, step, example)
+        sh = lambda spec: NamedSharding(self.mesh, spec)  # noqa: E731
+        self.train_state = jax.device_put(restored["train_state"],
+                                          sh(P()))
+        self.actor_state = jax.device_put(restored["actor_state"],
+                                          sh(P("data")))
+        if self.loop_cfg.checkpoint_replay and "replay_state" in restored:
+            r = restored["replay_state"]
+            self.replay_state = ReplayState(
+                storage={k: jax.device_put(v, sh(P("data")))
+                         for k, v in r.storage.items()},
+                t=jax.device_put(r.t, sh(P())),
+                tree=jax.device_put(r.tree, sh(P("data"))),
+                max_priority=jax.device_put(r.max_priority, sh(P())))
+        hs = restored["host_state"]
+        self.env_steps = int(hs["env_steps"])
+        self.updates_done = int(hs["updates"])
+        self._stats_popped = [int(x) for x in hs["stats_popped"]]
+        print(f"fused: resumed from checkpoint at env step {step}")
+
     def train(self):
         import time as _time
         cfg = self.loop_cfg
         next_log = cfg.log_interval
-        t_last, s_last = _time.time(), 0
+        next_ckpt = cfg.checkpoint_interval
+        t_last, s_last = _time.time(), self.env_steps
         while self.env_steps < cfg.total_env_steps:
             m = self.superstep()
             if self.env_steps >= next_log:
@@ -374,9 +598,15 @@ class FusedApexTrainer:
                 if rets:
                     scalars["episode_return_mean"] = float(
                         np.mean(rets))
+                    scalars["episode_return_median"] = float(
+                        np.median(rets))
                 for k, v in m.items():
                     scalars[f"train/{k}"] = float(v)
                 self.logger.log_scalars(self.env_steps, scalars)
                 self.logger.summary(self.env_steps, scalars)
+            if self.env_steps >= next_ckpt:
+                next_ckpt = self.env_steps + cfg.checkpoint_interval
+                self.save_checkpoint()
+        self.save_checkpoint()
         self.logger.close()
         return self

@@ -42,7 +42,6 @@ def main(argv=None):
                           0.5)
 
     from rltime_tpu.config.config import apply_overrides, load_config
-    from rltime_tpu.training.trainer import Trainer
 
     cfg = load_config(args.config)
     cfg = apply_overrides(cfg, [o for o in overrides if "=" in o])
@@ -55,7 +54,16 @@ def main(argv=None):
     print(f"result dir: {result_dir}")
     print(json.dumps(cfg, indent=2))
 
-    trainer = Trainer(cfg, result_dir)
+    kind = cfg.get("train", {}).get("trainer", "default")
+    if kind == "fused":
+        from rltime_tpu.parallel.fused import FusedApexTrainer
+        trainer = FusedApexTrainer(cfg, result_dir)
+    elif kind == "apex":
+        from rltime_tpu.parallel.apex import ApexTrainer
+        trainer = ApexTrainer(cfg, result_dir)
+    else:
+        from rltime_tpu.training.trainer import Trainer
+        trainer = Trainer(cfg, result_dir)
     trainer.train()
     return 0
 

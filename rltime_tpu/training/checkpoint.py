@@ -63,7 +63,10 @@ def _local_checkpointer() -> ocp.Checkpointer:
 
 
 def save(result_dir: str, step: int, train_state: TrainState,
-         host_state: Dict[str, Any], replay_state=None):
+         host_state: Dict[str, Any], replay_state=None,
+         extra: Optional[Dict[str, Any]] = None):
+    """`extra`: additional top-level pytrees (e.g. the fused trainer's
+    actor_state, or the Ape-X actor's PRNG key) saved alongside."""
     path = os.path.abspath(os.path.join(result_dir, "checkpoints",
                                         str(step)))
     ckpt = {
@@ -72,6 +75,8 @@ def save(result_dir: str, step: int, train_state: TrainState,
     }
     if replay_state is not None:
         ckpt["replay_state"] = replay_state
+    if extra:
+        ckpt.update(extra)
     with _local_checkpointer() as ckptr:
         ckptr.save(path, _strip_keys(ckpt), force=True)
     return path

@@ -58,9 +58,16 @@ class TrainLoopConfig:
     # exact-seed reproducibility for host/device overlap.
     async_acting: bool = False
     publish_interval: int = 1        # chunks between weight publishes
+    # Trainer implementation: "default" (this class: host-driven
+    # chunk loop, any env), "fused" (parallel/fused.py
+    # FusedApexTrainer: one-dispatch SPMD superstep, device envs
+    # only), "apex" (parallel/apex.py ApexTrainer: multi-host actor
+    # shards). train.py dispatches on this.
+    trainer: str = "default"
     # FusedApexTrainer only: whole supersteps scanned per dispatch
     # (parallel/fused.py make_superstep docstring). 1 = one dispatch
-    # per superstep.
+    # per superstep. Each scanned superstep consumes its own annealed
+    # PER beta, so S > 1 is bit-identical to S single dispatches.
     supersteps_per_dispatch: int = 1
 
 
@@ -133,7 +140,9 @@ class Trainer:
             self.actor = DeviceActor(
                 self.env.inner, self.env.num_envs, self.model_cfg,
                 exploration, fold_in_str(root, "actor"),
-                self.loop_cfg.chunk_len)
+                self.loop_cfg.chunk_len,
+                compute_priorities=self.replay_cfg.use_inserted_priorities,
+                gamma=self.algo_cfg.gamma)
         else:
             self.actor = Actor(
                 self.env, self.model_cfg, self.frame_stack,

@@ -1,0 +1,99 @@
+"""The driver-bench learner superstep, ONE definition shared by
+bench.py, tools/profile_bench.py and tools/dump_superstep_hlo.py.
+
+Round-2 advice: the HLO-dump tool had drifted to an older Python-
+unrolled S=4 program while bench.py moved to a lax.scan S=16 shape —
+copy/relayout attribution from the dump no longer matched what the
+driver measured. Everything now builds through `build()` below.
+
+The program: the steady-state jitted update cycle of the Atari
+double/dueling n-step PER config (BASELINE.json config #2 shapes) —
+sum-tree sample -> frame-stack window gather -> Nature-CNN fwd/bwd ->
+Adam -> priority write-back — S x (1 chunk insert + K updates) scanned
+into ONE XLA program. The chunk loop is a lax.scan with the replay
+state in the carry: XLA keeps the ring update IN PLACE across
+iterations (verified in HLO), so the one entry+exit relayout pair the
+ring's committed layout costs (~4.5 ms on the 462 MB obs ring)
+amortizes over S chunks instead of being paid per chunk. Compile time
+is O(1) in S because it's a scan, not an unroll.
+"""
+from __future__ import annotations
+
+import types
+
+import numpy as np
+
+# Canonical bench shapes (BASELINE.json config #2 scaled to one chip).
+E, T, L, F, N_STEP = 64, 1024, 32, 4, 3
+BATCH = 256
+S = 16          # chunks (supersteps) per dispatch
+K = 4           # learner updates per chunk
+
+
+def build(warm_chunks: int = 8, seed: int = 0):
+    """Construct the bench program. Returns a namespace with:
+    superstep (jitted), tstate, rstate, stacked(base)->device chunks,
+    and the static shape constants."""
+    import jax
+    import jax.numpy as jnp
+
+    from rltime_tpu.history.replay import (
+        ReplayConfig, replay_init, replay_insert)
+    from rltime_tpu.models.policy import ModelConfig
+    from rltime_tpu.training.learner import (
+        AlgoConfig, make_train_state, make_update_step,
+        make_insert_and_update_step)
+
+    rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=N_STEP,
+                        chunk_len=L, lookback=F - 1, prioritized=True)
+    mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
+                       head="dueling", compute_dtype="bfloat16")
+    acfg = AlgoConfig(algo="dqn", batch_size=BATCH, n_step=N_STEP,
+                      double_q=True, lr=1e-4, target_update_freq=500)
+    fields = {"obs": ((84, 84), jnp.uint8),
+              "action": ((), jnp.int32),
+              "reward": ((), jnp.float32),
+              "terminated": ((), jnp.bool_),
+              "done": ((), jnp.bool_)}
+    rstate = replay_init(rcfg, fields)
+    rng = np.random.default_rng(seed)
+
+    def chunk(k):
+        del k  # draws advance `rng`; arg kept for call-site clarity
+        return dict(
+            obs=rng.integers(0, 255, size=(E, L, 84, 84),
+                             dtype=np.uint8),
+            action=rng.integers(0, 6, size=(E, L)).astype(np.int32),
+            reward=rng.normal(size=(E, L)).astype(np.float32),
+            terminated=(rng.random((E, L)) < 0.02),
+            done=(rng.random((E, L)) < 0.02))
+
+    for k in range(warm_chunks):
+        rstate = replay_insert(rcfg, rstate, chunk(k))
+
+    ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
+    tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
+    update = make_update_step(mcfg, acfg, rcfg, F, False)
+    insert_update = make_insert_and_update_step(rcfg, update, K)
+
+    def superstep(tstate, rstate, beta, chunks):
+        def body(carry, ck):
+            ts, rs = carry
+            ts, rs, m = insert_update(ts, rs, ck, beta)
+            return (ts, rs), m
+        (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
+                                            chunks)
+        return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
+
+    jitted = jax.jit(superstep, donate_argnums=(0, 1))
+
+    def stacked(base):
+        out = [chunk(base + i) for i in range(S)]
+        return {k: jnp.asarray(np.stack([c[k] for c in out]))
+                for k in out[0]}
+
+    return types.SimpleNamespace(
+        superstep=jitted, tstate=tstate, rstate=rstate,
+        stacked=stacked, chunk=chunk, E=E, T=T, L=L, F=F,
+        n_step=N_STEP, batch=BATCH, S=S, K=K,
+        rcfg=rcfg, mcfg=mcfg, acfg=acfg)

@@ -109,3 +109,45 @@ def test_device_cartpole_learns(tmp_path):
     Trainer(cfg, d).train()
     rep = evaluate(d, episodes=10, max_steps=100_000)
     assert rep["return_mean"] >= 475, rep
+
+
+def test_device_actor_inserted_priorities():
+    """DeviceActor's in-scan actor-side priorities == a host-side
+    recomputation of |r + g*(1-term)*max_a Q(s') - Q(s,a)| from the
+    emitted chunk (SURVEY.md §0 item 5 on the device path)."""
+    from rltime_tpu.acting.device_actor import DeviceActor
+    from rltime_tpu.envs.device import DeviceCartPole
+    from rltime_tpu.models.policy import (
+        ModelConfig, init_params, make_model,
+    )
+
+    class _Eps:
+        def epsilons(self, n, step):
+            return np.full((n,), 0.3, np.float32)
+
+    E, L, gamma = 3, 6, 0.97
+    env = DeviceCartPole()
+    cfg = ModelConfig(num_actions=2, torso="mlp", mlp_hidden=(8,),
+                      head="linear")
+    params = init_params(cfg, jax.random.key(1), jnp.zeros((1, 4)))
+    actor = DeviceActor(env, E, cfg, _Eps(), jax.random.key(2), L,
+                        compute_priorities=True, gamma=gamma)
+    chunk, _ = actor.rollout(params)
+    assert chunk["priority"].shape == (E, L)
+
+    model = make_model(cfg)
+    obs = np.asarray(chunk["obs"])              # (E, L, 4)
+    q = np.stack([np.asarray(model.apply(params, jnp.asarray(
+        obs[:, t]), ())[0]) for t in range(L)], axis=1)  # (E, L, A)
+    q_sa = np.take_along_axis(
+        q, np.asarray(chunk["action"])[..., None], axis=-1)[..., 0]
+    q_best = q.max(axis=-1)                     # (E, L)
+    obs_last = np.asarray(env.observe(actor.state.env_state))
+    q_last = np.asarray(model.apply(params, jnp.asarray(obs_last),
+                                    ())[0]).max(axis=-1)
+    q_next = np.concatenate([q_best[:, 1:], q_last[:, None]], axis=1)
+    nonterm = 1.0 - np.asarray(chunk["terminated"], np.float32)
+    expect = np.abs(np.asarray(chunk["reward"])
+                    + gamma * nonterm * q_next - q_sa)
+    np.testing.assert_allclose(np.asarray(chunk["priority"]), expect,
+                               rtol=1e-5, atol=1e-6)

@@ -241,7 +241,8 @@ def test_fused_superstep_end_to_end(tmp_path):
 
 def test_fused_multi_superstep_bit_identical(tmp_path):
     """S supersteps scanned in ONE dispatch == S sequential dispatches
-    (same seed, constant beta): params, replay tree, cursors, stats."""
+    (same seed, ANNEALING beta — each scanned superstep consumes its
+    own beta): params, replay tree, cursors, stats."""
     from rltime_tpu.parallel.fused import FusedApexTrainer
 
     def cfg(s):
@@ -253,14 +254,11 @@ def test_fused_multi_superstep_bit_identical(tmp_path):
             "replay": {"steps_per_env": 128, "prioritized": True},
             "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
                      "lr": 1e-3, "target_update_freq": 10,
-                     # beta must not depend on env_steps for exact
-                     # equality (the fused dispatch holds beta fixed
-                     # across its S supersteps)
-                     "per_beta_start": 0.5, "per_beta_end": 0.5},
+                     "per_beta_start": 0.4, "per_beta_end": 1.0},
             "exploration": {"type": "epsilon_greedy",
                             "eps_start": 1.0, "eps_end": 0.1,
                             "anneal_steps": 2000},
-            "train": {"total_env_steps": 10**9,
+            "train": {"total_env_steps": 4096,
                       "warmup_env_steps": 0, "chunk_len": 16,
                       "updates_per_chunk": 2,
                       "log_interval": 10**9,
@@ -286,3 +284,206 @@ def test_fused_multi_superstep_bit_identical(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(t1.actor_state.ret_ring),
         np.asarray(t3.actor_state.ret_ring))
+
+
+def test_fused_matches_trainer_path(tmp_path):
+    """Fused one-dispatch superstep at d=1 == 2-dispatch
+    Trainer+DeviceActor, BIT FOR BIT — across the warmup boundary,
+    with annealing beta AND actor-side inserted priorities.
+
+    The single irreducible difference is the sharded learner's
+    sampling-key discipline (fold_in of the shard index, exactly as in
+    test_one_shard_mesh_matches_local_exactly); the Trainer side
+    emulates that fold and everything else must match exactly.
+    """
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    from rltime_tpu.training.trainer import Trainer
+    from rltime_tpu.training.learner import (
+        make_insert_and_update_step,
+    )
+
+    cfg = {
+        "seed": 3,
+        "env": {"type": "cartpole_device", "num_envs": 4},
+        "model": {"torso": "mlp", "mlp_hidden": [16],
+                  "head": "linear"},
+        "replay": {"steps_per_env": 128, "prioritized": True,
+                   "use_inserted_priorities": True},
+        "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
+                 "lr": 1e-3, "target_update_freq": 10,
+                 "per_beta_start": 0.4, "per_beta_end": 1.0},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 2000},
+        "train": {"total_env_steps": 4096,
+                  "warmup_env_steps": 128, "chunk_len": 16,
+                  "updates_per_chunk": 2, "log_interval": 10**9},
+    }
+
+    tr = Trainer(cfg, str(tmp_path / "trainer"))
+    upd = make_update_step(tr.model_cfg, tr.algo_cfg, tr.replay_cfg,
+                           1, tr.flatten)
+
+    def folded(ts, rs, beta):
+        lt = ts.replace(key=jax.random.fold_in(ts.key, 0))
+        nt, nr, m = upd(lt, rs, beta)
+        return nt.replace(key=jax.random.split(ts.key, 3)[0]), nr, m
+
+    tr._insert_update = jax.jit(
+        make_insert_and_update_step(tr.replay_cfg, folded, 2),
+        donate_argnums=(0, 1))
+
+    fu = FusedApexTrainer(cfg, str(tmp_path / "fused"),
+                          mesh=make_mesh(jax.devices()[:1]))
+
+    for _ in range(5):
+        tr.train_chunk()
+        fu.superstep()
+
+    def raw(x):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    assert tr.actor.env_steps == fu.env_steps
+    assert tr.updates_done == fu.updates_done > 0
+    for a, b in zip(jax.tree.leaves(tr.train_state),
+                    jax.tree.leaves(fu.train_state)):
+        np.testing.assert_array_equal(raw(a), raw(b))
+    np.testing.assert_array_equal(np.asarray(tr.replay_state.tree),
+                                  np.asarray(fu.replay_state.tree))
+    assert int(tr.replay_state.t) == int(fu.replay_state.t)
+    assert (float(tr.replay_state.max_priority)
+            == float(fu.replay_state.max_priority))
+    # actor-side inserted priorities stored identically
+    np.testing.assert_array_equal(
+        np.asarray(tr.replay_state.storage["priority"]),
+        np.asarray(fu.replay_state.storage["priority"]))
+    # episode bookkeeping identical
+    np.testing.assert_array_equal(
+        np.asarray(tr.actor.state.ret_ring),
+        np.asarray(fu.actor_state.ret_ring))
+    assert (int(tr.actor.state.ring_cursor)
+            == int(fu.actor_state.ring_cursor[0]))
+
+
+def test_fused_image_superstep(tmp_path):
+    """Image-obs (MinAtar, uint8 ring) end-to-end through the fused
+    superstep on the 8-device mesh — the flagship on-chip workload."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    cfg = {
+        "seed": 0,
+        "env": {"type": "minatar_breakout", "num_envs": 2,
+                "sticky_prob": 0.1},
+        "model": {"torso": "minatar_cnn", "cnn_channels": [4],
+                  "cnn_fc": 16, "head": "dueling",
+                  "dueling_hidden": 16},
+        "replay": {"steps_per_env": 64, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 4, "n_step": 3,
+                 "lr": 1e-3, "target_update_freq": 10},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 2000},
+        "train": {"total_env_steps": 10**9, "warmup_env_steps": 256,
+                  "chunk_len": 8, "updates_per_chunk": 2,
+                  "log_interval": 10**9},
+    }
+    t = FusedApexTrainer(cfg, str(tmp_path / "img"))
+    assert t.replay_state.storage["obs"].dtype == jnp.uint8
+    assert t.replay_state.storage["obs"].shape == (16, 64, 10, 10, 4)
+    # warmup: 256 steps at 8*2=16 lanes * 8 cols = 128/chunk
+    m = t.superstep()
+    assert m == {} and t.updates_done == 0          # warm dispatch
+    m = t.superstep()
+    assert t.updates_done == 2                      # crossed warmup
+    assert np.isfinite(float(m["loss"]))
+    # obs ring holds real binary planes, not all zeros
+    assert int(np.asarray(t.replay_state.storage["obs"]).sum()) > 0
+
+
+def test_fused_r2d2_superstep(tmp_path):
+    """R2D2 sequence updates (stored LSTM state + burn-in) inside the
+    fused one-dispatch superstep."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    cfg = {
+        "seed": 1,
+        "env": {"type": "cartpole_device", "num_envs": 2},
+        "model": {"torso": "mlp", "mlp_hidden": [16],
+                  "lstm_size": 8, "head": "linear"},
+        "replay": {"steps_per_env": 64, "prioritized": True},
+        "algo": {"algo": "r2d2", "batch_size": 4, "n_step": 1,
+                 "burn_in": 2, "seq_len": 4, "lr": 1e-3,
+                 "target_update_freq": 10},
+        "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
+                        "eps_end": 0.1, "anneal_steps": 2000},
+        "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
+                  "chunk_len": 8, "updates_per_chunk": 2,
+                  "log_interval": 10**9},
+    }
+    t = FusedApexTrainer(cfg, str(tmp_path / "r2d2"))
+    assert "rnn_c" in t.replay_state.storage
+    for _ in range(3):
+        m = t.superstep()
+    assert t.updates_done == 6
+    assert np.isfinite(float(m["loss"]))
+    # stored carries made it into the ring
+    assert float(np.abs(
+        np.asarray(t.replay_state.storage["rnn_h"])).sum()) > 0
+
+
+def test_fused_checkpoint_resume(tmp_path):
+    """Deterministic resume of the fused path: 3 supersteps + save +
+    restore + 3 more == 6 uninterrupted supersteps, bit for bit
+    (learner, actor incl. PRNG/env state, replay contents)."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+
+    def cfg(resume=False):
+        return {
+            "seed": 5,
+            "env": {"type": "cartpole_device", "num_envs": 2},
+            "model": {"torso": "mlp", "mlp_hidden": [16],
+                      "head": "linear"},
+            "replay": {"steps_per_env": 128, "prioritized": True},
+            "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
+                     "lr": 1e-3, "target_update_freq": 10},
+            "exploration": {"type": "epsilon_greedy",
+                            "eps_start": 1.0, "eps_end": 0.1,
+                            "anneal_steps": 2000},
+            "train": {"total_env_steps": 4096,
+                      "warmup_env_steps": 0, "chunk_len": 16,
+                      "updates_per_chunk": 2, "log_interval": 10**9,
+                      "checkpoint_replay": True, "resume": resume},
+        }
+
+    ref = FusedApexTrainer(cfg(), str(tmp_path / "ref"))
+    for _ in range(6):
+        ref.superstep()
+
+    a = FusedApexTrainer(cfg(), str(tmp_path / "resumed"))
+    for _ in range(3):
+        a.superstep()
+    a.save_checkpoint()
+    del a
+    b = FusedApexTrainer(cfg(resume=True), str(tmp_path / "resumed"))
+    # restored counters: 3 supersteps * chunk_len 16 * (2 lanes * 8
+    # shards) global lanes
+    assert b.env_steps == 3 * 16 * 16
+    for _ in range(3):
+        b.superstep()
+
+    def raw(x):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    assert ref.env_steps == b.env_steps
+    assert ref.updates_done == b.updates_done
+    for x, y in zip(jax.tree.leaves(ref.train_state),
+                    jax.tree.leaves(b.train_state)):
+        np.testing.assert_array_equal(raw(x), raw(y))
+    np.testing.assert_array_equal(np.asarray(ref.replay_state.tree),
+                                  np.asarray(b.replay_state.tree))
+    for k in ref.replay_state.storage:
+        np.testing.assert_array_equal(
+            np.asarray(ref.replay_state.storage[k]),
+            np.asarray(b.replay_state.storage[k]))
+    np.testing.assert_array_equal(np.asarray(ref.actor_state.ret_ring),
+                                  np.asarray(b.actor_state.ret_ring))
