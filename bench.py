@@ -49,11 +49,13 @@ def _bench_learner():
     # tunneled backend block_until_ready can return before the queue
     # drains, which inflates rates and leaves work in flight.
     warm = p.stacked(50)
-    lowered = p.superstep.lower(p.tstate, p.rstate, beta, warm)
-    compiled = lowered.compile()
+    # FLOPs from the client-side HLO cost model (no backend compile —
+    # the remote compile service is slow and the jit call below
+    # compiles through the persistent cache anyway).
     flops = None
     try:
-        ca = compiled.cost_analysis()
+        ca = p.superstep.lower(p.tstate, p.rstate, beta,
+                               warm).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None

@@ -193,13 +193,17 @@ class DeviceActor:
         return chunk, dict(env_steps=self.env_steps)
 
     def episode_stats(self, clear: bool = True):
+        """Fresh completed (returns, lengths), OLDEST FIRST (same
+        chronological order as the host Actor's append-order lists —
+        eval.py counts on it)."""
         cursor = int(self.state.ring_cursor)
         fresh = min(cursor - self._stats_popped, STATS_RING)
         if fresh <= 0:
             return [], []
         ring_r = np.asarray(self.state.ret_ring)
         ring_l = np.asarray(self.state.len_ring)
-        idxs = [(cursor - 1 - i) % STATS_RING for i in range(fresh)]
+        idxs = [(cursor - fresh + i) % STATS_RING
+                for i in range(fresh)]
         rets = [float(ring_r[i]) for i in idxs]
         lens = [float(ring_l[i]) for i in idxs]
         if clear:

@@ -54,12 +54,15 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
 
     frames = [] if record_path else None
     steps = 0
-    collected = 0
-    while collected < episodes and steps < max_steps:
+    # FIRST-completed semantics: pop completions chronologically each
+    # chunk and report exactly the first `episodes` finished — extra
+    # episodes that complete inside the final chunk are dropped, so
+    # the parity measurement covers the requested count only.
+    all_rets: list = []
+    while len(all_rets) < episodes and steps < max_steps:
         chunk, _ = actor.rollout(params, num_steps=64)
-        collected = (len(actor.completed_returns)
-                     if hasattr(actor, "completed_returns")
-                     else int(actor.state.ring_cursor))
+        r, _l = actor.episode_stats()
+        all_rets.extend(r)
         if frames is not None and len(env.spec.obs_shape) >= 2:
             # record lane 0's raw obs stream (SURVEY.md §3.4
             # render/record of a saved policy, headless variant).
@@ -80,8 +83,7 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
             wr.release()
         except Exception:
             pass  # npz always written; mp4 best-effort
-    rets, lens = actor.episode_stats()
-    rets = rets[:episodes]
+    rets = all_rets[:episodes]
     report = dict(
         episodes=len(rets),
         return_mean=float(np.mean(rets)) if rets else float("nan"),

@@ -108,3 +108,127 @@ def window_gather_reference(storage, env, col, window):
     offs = jnp.arange(window, dtype=jnp.int32)
     cols = jnp.mod(col[:, None] + offs[None, :], T)
     return storage[env[:, None], cols]
+
+
+# ---------------------------------------------------------------------------
+# Fused stack + n-step union gather (the docstring's promised variant)
+# ---------------------------------------------------------------------------
+#
+# The FF learner gathers TWO overlapping frame-stack windows per sample
+# (obs at col and col+n_step: 2*F rows); their union is one contiguous
+# window of F+n rows [col-F+1, col+n]. This kernel fetches the union in
+# ONE DMA per sample (two on a ring seam), with `group` DMAs in flight
+# at once (start-all/wait-all per grid step) so HBM latency overlaps —
+# the cross-grid double-buffering the round-2 status block planned.
+#
+# Storage rows must be 128-lane aligned for Mosaic HBM slicing (the
+# documented constraint): obs are flattened+padded to R = ceil(prod(
+# obs_shape)/128)*128 bytes per row, e.g. 84x84=7056 -> 7168. The 1.6%
+# pad also buys aligned, purely-contiguous DMA rows.
+
+def pad_rows(storage: jnp.ndarray) -> jnp.ndarray:
+    """(E, T, *obs) -> (E, T, R) flattened rows padded to 128 lanes."""
+    E, T = storage.shape[:2]
+    row = int(np.prod(storage.shape[2:]))
+    R = -(-row // 128) * 128
+    flat = storage.reshape(E, T, row)
+    if R == row:
+        return flat
+    return jnp.pad(flat, ((0, 0), (0, 0), (0, R - row)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "group", "interpret"))
+def fused_union_gather(storage: jnp.ndarray, env: jnp.ndarray,
+                       col0: jnp.ndarray, window: int,
+                       group: int = 8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """out[b, w] = storage[env[b], (col0[b]+w) % T]  (B, window, R).
+
+    storage: (E, T, R) padded rows (R % 128 == 0 — see pad_rows).
+    `col0` is the FIRST column of the union window (col - lookback;
+    may be negative, wrapped here). B must divide by `group`.
+    """
+    E, T, R = storage.shape
+    B = env.shape[0]
+    assert R % 128 == 0, "rows must be 128-lane aligned (pad_rows)"
+    assert B % group == 0, "batch must divide by DMA group size"
+    col0 = jnp.mod(col0, T).astype(jnp.int32)
+    env = env.astype(jnp.int32)
+    W = window
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // group,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((group,))],
+    )
+
+    def kernel(env_ref, col_ref, storage_ref, out_ref, sems):
+        g = pl.program_id(0)
+
+        def dmas(i, b):
+            """The (deterministic) copy set for sample b on sem i."""
+            e = env_ref[b]
+            c0 = col_ref[b]
+            n1 = T - c0
+            whole = pltpu.make_async_copy(
+                storage_ref.at[e, pl.ds(c0, W)], out_ref.at[b],
+                sems.at[i])
+            rows = [pltpu.make_async_copy(
+                storage_ref.at[e, jax.lax.rem(c0 + w, T)],
+                out_ref.at[b, w], sems.at[i]) for w in range(W)]
+            return n1, whole, rows
+
+        # phase 1: start `group` samples' DMAs (all in flight at once)
+        for i in range(group):
+            b = g * group + i
+            n1, whole, rows = dmas(i, b)
+
+            @pl.when(n1 >= W)
+            def _():
+                whole.start()
+
+            @pl.when(n1 < W)
+            def _():
+                for r in rows:
+                    r.start()
+
+        # phase 2: wait them (same descriptors, same order)
+        for i in range(group):
+            b = g * group + i
+            n1, whole, rows = dmas(i, b)
+
+            @pl.when(n1 >= W)
+            def _():
+                whole.wait()
+
+            @pl.when(n1 < W)
+            def _():
+                for r in rows:
+                    r.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, W, R), storage.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=False),
+        interpret=interpret,
+    )(env, col0, storage)
+
+
+def split_union(union: jnp.ndarray, frame_stack: int, n_step: int,
+                obs_shape) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Union rows (B, F+n, R) -> (obs_t, obs_tn) each (B, F, *obs).
+
+    Row w of the union is column col-F+1+w; obs_t's stack (oldest
+    first) is rows [0, F), obs_tn's is rows [n, n+F). The 128-lane row
+    pad is stripped here (one cheap contiguous slice per output)."""
+    B = union.shape[0]
+    row = int(np.prod(obs_shape))
+    F = frame_stack
+    obs_t = union[:, :F, :row].reshape((B, F) + tuple(obs_shape))
+    obs_tn = union[:, n_step:n_step + F, :row].reshape(
+        (B, F) + tuple(obs_shape))
+    return obs_t, obs_tn

@@ -230,22 +230,69 @@ class ApexTrainer:
                     self.train_state.params)
         return metrics
 
+    def _aux_dir(self, step: int) -> str:
+        import os
+        return os.path.join(self.result_dir, "checkpoints_aux",
+                            str(step))
+
+    @staticmethod
+    def _local_block(x) -> np.ndarray:
+        """This process's rows of a 'data'-sharded global array."""
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards],
+                              axis=0)
+
     def save_checkpoint(self):
-        """Lead-process checkpoint of the replicated learner state."""
-        if not self.is_lead:
-            return None
+        """Lead process saves the replicated learner state (orbax);
+        EVERY process additionally writes a per-process sidecar
+        (checkpoints_aux/<step>/proc<i>.npz) holding its actor PRNG
+        stream and — with `checkpoint_replay` — its local replay
+        shards, so resume restores the full distributed state without
+        any cross-process data movement (SURVEY.md §5.4 'replay
+        (optional)' on the multi-host path)."""
+        import os
         from rltime_tpu.training import checkpoint as ckpt_lib
-        host = dict(env_steps=self.actor.env_steps,
-                    updates=self.updates_done)
-        return ckpt_lib.save(self.logger.dir, self.global_env_steps,
-                             jax.device_get(self.train_state), host)
+        step = self.global_env_steps
+        path = None
+        if self.is_lead:
+            host = dict(env_steps=self.actor.env_steps,
+                        updates=self.updates_done)
+            path = ckpt_lib.save(self.result_dir, step,
+                                 jax.device_get(self.train_state),
+                                 host)
+        aux = {
+            "actor_key": np.asarray(
+                jax.random.key_data(self.actor.state.key)),
+            "chunks": np.int64(self._chunks),
+        }
+        if self.loop_cfg.checkpoint_replay:
+            for k, v in self.replay_state.storage.items():
+                aux[f"storage_{k}"] = self._local_block(v)
+            aux["tree"] = self._local_block(self.replay_state.tree)
+            aux["t"] = np.asarray(jax.device_get(self.replay_state.t))
+            aux["max_priority"] = np.asarray(
+                jax.device_get(self.replay_state.max_priority))
+        d = self._aux_dir(step)
+        os.makedirs(d, exist_ok=True)
+        np.savez(os.path.join(d, f"proc{jax.process_index()}.npz"),
+                 **aux)
+        return path
 
     def try_resume(self):
-        """Resume learner state from the shared result dir. EVERY
-        process restores the same checkpoint (multi-host runs assume a
-        shared filesystem, the Cloud TPU norm) then re-replicates —
-        lead-only restore would silently desync the replicated state."""
-        from rltime_tpu.parallel.mesh import replicate_global
+        """Resume from the shared result dir. EVERY process restores
+        the same learner checkpoint (multi-host runs assume a shared
+        filesystem, the Cloud TPU norm) then re-replicates — lead-only
+        restore would silently desync the replicated state. Each
+        process then restores ITS OWN sidecar: actor PRNG stream +
+        (optional) local replay shards. Env instances restart fresh
+        (host env internals are not serializable; the reference's
+        actor subprocesses restart the same way)."""
+        import os
+        import jax.numpy as jnp
+        from rltime_tpu.history.replay import ReplayState
+        from rltime_tpu.parallel.mesh import (
+            make_global_array, replicate_global)
         from rltime_tpu.training import checkpoint as ckpt_lib
         step = ckpt_lib.latest_step(self.result_dir)
         if step is None:
@@ -259,13 +306,35 @@ class ApexTrainer:
             restored["host_state"]["env_steps"])
         self.updates_done = int(restored["host_state"]["updates"])
         self._actor_params = jax.device_get(self.train_state.params)
+
+        aux_path = os.path.join(
+            self._aux_dir(step), f"proc{jax.process_index()}.npz")
+        if os.path.exists(aux_path):
+            aux = np.load(aux_path)
+            impl = jax.random.key_impl(self.actor.state.key)
+            self.actor.state = self.actor.state.replace(
+                key=jax.random.wrap_key_data(
+                    jnp.asarray(aux["actor_key"]), impl=impl))
+            self._chunks = int(aux["chunks"])
+            if self.loop_cfg.checkpoint_replay and "tree" in aux.files:
+                storage = {
+                    k: jax.make_array_from_process_local_data(
+                        self._chunk_sharding, aux[f"storage_{k}"])
+                    for k in self.replay_state.storage}
+                self.replay_state = ReplayState(
+                    storage=storage,
+                    t=make_global_array(aux["t"], self.mesh, P()),
+                    tree=jax.make_array_from_process_local_data(
+                        self._chunk_sharding, aux["tree"]),
+                    max_priority=make_global_array(
+                        aux["max_priority"], self.mesh, P()))
         print(f"apex: resumed from checkpoint at step {step}")
         return True
 
     def train(self):
         cfg = self.loop_cfg
-        next_log = cfg.log_interval
-        next_ckpt = cfg.checkpoint_interval
+        next_log = self.global_env_steps + cfg.log_interval
+        next_ckpt = self.global_env_steps + cfg.checkpoint_interval
         while self.global_env_steps < cfg.total_env_steps:
             metrics = self.train_chunk()
             if self.is_lead and self.global_env_steps >= next_log:

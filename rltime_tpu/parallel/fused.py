@@ -518,18 +518,19 @@ class FusedApexTrainer:
         return m
 
     def episode_stats(self):
-        """Recent completed returns pooled over all shards."""
+        """Fresh completed returns pooled over all shards, per-shard
+        oldest first (chronological, like DeviceActor)."""
         cursors = np.asarray(self.actor_state.ring_cursor)
         rings = np.asarray(self.actor_state.ret_ring).reshape(
             self.num_shards, STATS_RING)
         rets = []
         for s in range(self.num_shards):
-            fresh = min(int(cursors[s]) - self._stats_popped[s],
-                        STATS_RING)
+            cur = int(cursors[s])
+            fresh = min(cur - self._stats_popped[s], STATS_RING)
             for i in range(fresh):
                 rets.append(float(
-                    rings[s][(int(cursors[s]) - 1 - i) % STATS_RING]))
-            self._stats_popped[s] = int(cursors[s])
+                    rings[s][(cur - fresh + i) % STATS_RING]))
+            self._stats_popped[s] = cur
         return rets
 
     # ----- checkpointing (SURVEY.md §5.4 on the fused path) -----
@@ -580,8 +581,8 @@ class FusedApexTrainer:
     def train(self):
         import time as _time
         cfg = self.loop_cfg
-        next_log = cfg.log_interval
-        next_ckpt = cfg.checkpoint_interval
+        next_log = self.env_steps + cfg.log_interval
+        next_ckpt = self.env_steps + cfg.checkpoint_interval
         t_last, s_last = _time.time(), self.env_steps
         while self.env_steps < cfg.total_env_steps:
             m = self.superstep()

@@ -49,14 +49,46 @@ def main():
         "train": {"total_env_steps": 1600, "warmup_env_steps": 400,
                   "chunk_len": 8, "updates_per_chunk": 1,
                   "log_interval": 10_000,
-                  "checkpoint_interval": 10**9},
+                  "checkpoint_interval": 10**9,
+                  "checkpoint_replay": True},
     }
     t = ApexTrainer(cfg, result_dir).train()
+    # the lead's orbax write must be complete (and visible on the
+    # shared dir) before any process starts the resume phase
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("checkpoint_written")
 
-    params = jax.device_get(t.train_state.params)
-    leaves = jax.tree.leaves(params)
-    checksum = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+    def checksum_of(state):
+        leaves = jax.tree.leaves(jax.device_get(state.params))
+        return float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+
+    checksum = checksum_of(t.train_state)
     rets, _ = t.actor.episode_stats()
+    saved_key = np.asarray(jax.random.key_data(t.actor.state.key))
+    saved_tree = np.asarray(jax.device_get(
+        ApexTrainer._local_block(t.replay_state.tree)))
+
+    # Deterministic resume (SURVEY.md §5.4 on the distributed path):
+    # two fresh trainers restoring the same checkpoint — actor PRNG +
+    # local replay shards + learner — must evolve IDENTICALLY.
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["train"]["resume"] = True
+    cfg2["train"]["total_env_steps"] = 10**9
+    resumed = []
+    for _ in range(2):
+        r = ApexTrainer(cfg2, result_dir)
+        assert r.actor.env_steps == t.actor.env_steps
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(r.actor.state.key)),
+            saved_key)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(
+                ApexTrainer._local_block(r.replay_state.tree))),
+            saved_tree)
+        for _ in range(3):
+            r.train_chunk()
+        resumed.append(checksum_of(r.train_state))
+
     with open(out_path, "w") as f:
         json.dump({
             "process_id": pid,
@@ -66,6 +98,8 @@ def main():
             "global_env_steps": t.global_env_steps,
             "param_checksum": checksum,
             "num_episodes": len(rets),
+            "resumed_checksum_a": resumed[0],
+            "resumed_checksum_b": resumed[1],
         }, f)
     jax.distributed.shutdown()
 

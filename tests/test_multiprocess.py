@@ -39,10 +39,13 @@ def _run_workers(nproc, n_dev, tmp_path, timeout=420):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # ONE shared result dir for all processes — multi-host runs assume
+    # a shared filesystem (apex.try_resume restores the lead's learner
+    # checkpoint + this process's own sidecar from the same tree).
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(i), str(nproc), str(port),
-             str(n_dev), outs[i], str(tmp_path / f"res_{i}")],
+             str(n_dev), outs[i], str(tmp_path / "res_shared")],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=os.path.dirname(_WORKER) + "/..")
         for i in range(nproc)
@@ -78,3 +81,11 @@ def test_apex_two_process_end_to_end(tmp_path):
     # proves the cross-process gradient pmean actually synchronized.
     assert results[0]["param_checksum"] == results[1]["param_checksum"]
     assert results[0]["param_checksum"] != 0.0
+    # Deterministic resume: two independent restores of the same
+    # checkpoint (learner + per-process actor PRNG + replay shards)
+    # evolved identically, on every process, and actually trained on.
+    for r in results:
+        assert r["resumed_checksum_a"] == r["resumed_checksum_b"]
+        assert r["resumed_checksum_a"] != r["param_checksum"]
+    assert (results[0]["resumed_checksum_a"]
+            == results[1]["resumed_checksum_a"])
