@@ -188,12 +188,14 @@ class DeviceBreakout:
 from rltime_tpu.envs.minatar_games import (  # noqa: E402
     DeviceAsterix, DeviceFreeway, DeviceSpaceInvaders,
 )
+from rltime_tpu.envs.minatar_seaquest import DeviceSeaquest  # noqa: E402
 
 MINATAR_ENVS = {
     "breakout": DeviceBreakout,
     "asterix": DeviceAsterix,
     "freeway": DeviceFreeway,
     "space_invaders": DeviceSpaceInvaders,
+    "seaquest": DeviceSeaquest,
 }
 
 

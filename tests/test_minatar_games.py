@@ -440,6 +440,7 @@ def test_registry_handles_and_specs():
         "minatar_asterix": (4, 5),
         "minatar_freeway": (7, 3),
         "minatar_space_invaders": (6, 4),
+        "minatar_seaquest": (10, 6),
     }.items():
         h = build({"type": name, "num_envs": 4})
         assert h.spec.obs_shape == (10, 10, ch)
