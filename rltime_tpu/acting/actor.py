@@ -151,7 +151,9 @@ class Actor:
         self.chunk_len = chunk_len
         # Ape-X actor-side initial priorities (arxiv 1803.00933 §B):
         # emit each transition one step late so its 1-step TD estimate
-        # |r + gamma*(1-term)*max_a Q(s') - Q(s,a)| can ride along.
+        # |r + gamma*(1-done)*max_a Q(s') - Q(s,a)| can ride along
+        # (done, not terminated: at a done step s' is the next
+        # episode's reset obs, which no target ever bootstraps from).
         self.compute_priorities = compute_priorities
         self.gamma = gamma
         self._pending = None
@@ -228,7 +230,7 @@ class Actor:
                 p = self._pending
                 td = np.abs(p["reward"]
                             + self.gamma
-                            * (1.0 - p["terminated"].astype(np.float32))
+                            * (1.0 - p["done"].astype(np.float32))
                             * np.asarray(q_best) - p["q_sa"])
                 emit(p, td)
             actions_np = np.asarray(actions)

@@ -15,7 +15,6 @@ dropped for non-done lanes), popped to host at log time.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax
@@ -42,13 +41,18 @@ class DeviceActorState(struct.PyTreeNode):
     ring_cursor: jnp.ndarray  # int32 total completions ever
 
 
-def make_device_rollout(env, cfg: ModelConfig, chunk_len: int,
-                        compute_priorities: bool = False,
-                        gamma: float = 0.99):
-    """Build the jitted fused rollout for a device env.
+def make_rollout_core(env, cfg: ModelConfig, chunk_len: int,
+                      compute_priorities: bool = False,
+                      gamma: float = 0.99):
+    """Build the UNJITTED fused rollout for a device env — the ONE
+    act-phase definition shared by DeviceActor (jitted directly below)
+    and the fused SPMD superstep (parallel/fused.py, which adapts its
+    per-shard state view around it). Bit-identity between those two
+    paths is load-bearing (test_parallel::test_fused_matches_trainer_
+    path), which is why there is exactly one copy of this logic.
 
     With `compute_priorities`, the chunk carries a "priority" field:
-    the Ape-X actor-side 1-step TD estimate |r_t + g*(1-term_t)*
+    the Ape-X actor-side 1-step TD estimate |r_t + g*(1-done_t)*
     max_a Q(s_{t+1}) - Q(s_t, a_t)| (SURVEY.md §0 item 5), computed
     in-register during the scan; only the final column needs one
     extra forward on the post-chunk obs. Keys for that forward are
@@ -128,7 +132,6 @@ def make_device_rollout(env, cfg: ModelConfig, chunk_len: int,
         q, _ = model.apply(params, obs, rnn, taus)
         return jnp.max(q_values(cfg, q), axis=-1)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
     def rollout(params, state: DeviceActorState, eps):
         state, recs = jax.lax.scan(
             lambda s, e: body(params, s, e), state, eps, length=L)
@@ -138,14 +141,28 @@ def make_device_rollout(env, cfg: ModelConfig, chunk_len: int,
             q_last = final_qbest(params, state)
             q_next = jnp.concatenate([q_best[1:], q_last[None]],
                                      axis=0)
-            nonterm = 1.0 - recs["terminated"].astype(jnp.float32)
+            # bootstrap masked by done (terminated OR truncated): at a
+            # done step q_next is Q of the NEXT episode's auto-reset
+            # obs — an unrelated state — and the learner's own targets
+            # never bootstrap through a done boundary either
+            nondone = 1.0 - recs["done"].astype(jnp.float32)
             recs["priority"] = jnp.abs(
-                recs["reward"] + gamma * nonterm * q_next - q_sa)
+                recs["reward"] + gamma * nondone * q_next - q_sa)
         # (L, E, ...) -> (E, L, ...)
         chunk = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
         return state, chunk
 
     return rollout
+
+
+def make_device_rollout(env, cfg: ModelConfig, chunk_len: int,
+                        compute_priorities: bool = False,
+                        gamma: float = 0.99):
+    """Jitted (donating) wrapper over make_rollout_core."""
+    core = make_rollout_core(env, cfg, chunk_len,
+                             compute_priorities=compute_priorities,
+                             gamma=gamma)
+    return jax.jit(core, donate_argnums=(1,))
 
 
 class DeviceActor:

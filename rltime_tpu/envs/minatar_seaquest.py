@@ -197,9 +197,14 @@ class DeviceSeaquest:
         cols = jnp.arange(10)
         obs = jnp.zeros((E, 10, 10, 10), jnp.uint8)
         obs = obs.at[lanes, state.sub_y, state.sub_x, 0].set(1)
-        back_x = jnp.clip(jnp.where(state.sub_or, state.sub_x - 1,
-                                    state.sub_x + 1), 0, 9)
-        obs = obs.at[lanes, state.sub_y, back_x, 1].set(1)
+        # back cell dropped when off-board (same rule as trail();
+        # unreachable in play — facing right implies x >= 1 — but kept
+        # exact for constructed states)
+        back_x = jnp.where(state.sub_or, state.sub_x - 1,
+                           state.sub_x + 1)
+        back_ok = ((back_x >= 0) & (back_x <= 9)).astype(jnp.uint8)
+        obs = obs.at[lanes, state.sub_y, jnp.clip(back_x, 0, 9),
+                     1].max(back_ok)
         obs = obs.at[l2, state.fb_y, state.fb_x, 2].max(
             state.fb_alive.astype(jnp.uint8))
 

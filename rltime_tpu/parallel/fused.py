@@ -44,13 +44,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rltime_tpu.history.replay import (
     ReplayConfig, ReplayState, replay_insert,
 )
+from rltime_tpu.acting.device_actor import STATS_RING  # per shard
 from rltime_tpu.models.policy import (
-    ModelConfig, initial_rnn_state, make_model, q_values,
+    ModelConfig, initial_rnn_state,
 )
 from rltime_tpu.parallel.mesh import replay_partition_specs
-from rltime_tpu.training.learner import AlgoConfig, TrainState
-
-STATS_RING = 256  # per shard
+from rltime_tpu.training.learner import AlgoConfig
 
 
 class FusedActorState(struct.PyTreeNode):
@@ -106,107 +105,40 @@ def make_act_phase(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     """Build act(params, astate, eps (L, E)) -> (astate, chunk).
 
     The per-shard acting scan shared by the full superstep and the
-    warmup (act+insert only) program. With `compute_priorities`, the
-    emitted chunk carries a "priority" field: the Ape-X actor-side
-    1-step TD estimate |r_t + g*(1-term_t)*max_a Q(s_{t+1}) - Q(s_t,
-    a_t)| (SURVEY.md §0 item 5), computed entirely in-register — the
-    Q values are already live during acting; only the final column
-    needs one extra forward pass on the post-chunk observation.
+    warmup (act+insert only) program. The acting logic itself (policy,
+    eps-greedy, env step, stat rings, actor-side initial priorities)
+    is the ONE shared definition in acting/device_actor.py's
+    make_rollout_core; this wrapper only adapts the per-shard
+    FusedActorState view (env/actor PRNG keys stacked to (1,), stat
+    cursor shaped (1,)) to the plain DeviceActorState the core scans
+    over — so the proven bit-identity between the fused and
+    Trainer+DeviceActor paths cannot drift apart by divergent copies.
     """
-    model = make_model(model_cfg)
-    L = chunk_len
+    from rltime_tpu.acting.device_actor import (
+        DeviceActorState, make_rollout_core)
+    core = make_rollout_core(env, model_cfg, chunk_len,
+                             compute_priorities=compute_priorities,
+                             gamma=algo_cfg.gamma)
 
-    def act_body(params, carry, eps_t):
-        astate = carry
-        key = astate.key[0]
-        key, ekey, akey, tkey = jax.random.split(key, 4)
-        obs = env.observe(astate.env_state)
-        rnn = astate.rnn
-        if model_cfg.recurrent:
-            m = (1.0 - astate.done_prev.astype(jnp.float32))[:, None]
-            rnn = jax.tree.map(lambda s: s * m, rnn)
-        stored_rnn = rnn
-        taus = None
-        if model_cfg.is_iqn:
-            taus = jax.random.uniform(
-                tkey, (obs.shape[0], model_cfg.num_tau_policy))
-        q, rnn = model.apply(params, obs, rnn, taus)
-        qv = q_values(model_cfg, q)
-        E = obs.shape[0]
-        greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
-        explore = jax.random.uniform(ekey, (E,)) < eps_t
-        rand_a = jax.random.randint(
-            akey, (E,), 0, model_cfg.num_actions, jnp.int32)
-        actions = jnp.where(explore, rand_a, greedy)
-        # unwrap the per-shard (1,)-shaped env key for the step
-        es = jax.tree.map(
-            lambda x: x[0] if _is_key(x) else x, astate.env_state)
-        env_state, rew, term, trunc = env.step(es, actions)
-        env_state = jax.tree.map(
-            lambda x: x[None] if _is_key(x) else x, env_state)
-        done = term | trunc
-        ep_ret = astate.ep_ret + rew
-        ep_len = astate.ep_len + 1
-        offs = jnp.cumsum(done.astype(jnp.int32))
-        cursor = astate.ring_cursor[0]
-        idx = jnp.where(done, (cursor + offs - 1) % STATS_RING,
-                        STATS_RING)
-        ret_ring = astate.ret_ring.at[idx].set(ep_ret, mode="drop")
-        len_ring = astate.len_ring.at[idx].set(
-            ep_len.astype(jnp.float32), mode="drop")
-        cursor = cursor + offs[-1]
-        rec = dict(obs=obs, action=actions, reward=rew,
-                   terminated=term, done=done)
-        if compute_priorities:
-            rec["q_sa"] = jnp.take_along_axis(
-                qv, actions[:, None], axis=-1)[:, 0]
-            rec["q_best"] = jnp.max(qv, axis=-1)
-        if model_cfg.recurrent:
-            rec["rnn_c"] = stored_rnn[0]
-            rec["rnn_h"] = stored_rnn[1]
+    def act(params, astate: FusedActorState, eps):
+        view = DeviceActorState(
+            env_state=jax.tree.map(
+                lambda x: x[0] if _is_key(x) else x, astate.env_state),
+            done_prev=astate.done_prev, rnn=astate.rnn,
+            key=astate.key[0], ep_ret=astate.ep_ret,
+            ep_len=astate.ep_len, ret_ring=astate.ret_ring,
+            len_ring=astate.len_ring,
+            ring_cursor=astate.ring_cursor[0])
+        view, chunk = core(params, view, eps)
         astate = FusedActorState(
-            env_state=env_state, done_prev=done, rnn=rnn,
-            key=key[None],
-            ep_ret=jnp.where(done, 0.0, ep_ret),
-            ep_len=jnp.where(done, 0, ep_len),
-            ret_ring=ret_ring, len_ring=len_ring,
-            ring_cursor=cursor[None])
-        return astate, rec
-
-    def final_qbest(params, astate):
-        """max_a Q on the post-chunk obs — bootstrap for column L-1.
-
-        Keys are DERIVED (fold_in), not consumed: the carried actor
-        key stream is identical with/without priority computation.
-        """
-        obs = env.observe(astate.env_state)
-        rnn = astate.rnn
-        if model_cfg.recurrent:
-            m = (1.0 - astate.done_prev.astype(jnp.float32))[:, None]
-            rnn = jax.tree.map(lambda s: s * m, rnn)
-        taus = None
-        if model_cfg.is_iqn:
-            taus = jax.random.uniform(
-                jax.random.fold_in(astate.key[0], 0x9E37),
-                (obs.shape[0], model_cfg.num_tau_policy))
-        q, _ = model.apply(params, obs, rnn, taus)
-        return jnp.max(q_values(model_cfg, q), axis=-1)
-
-    def act(params, astate, eps):
-        astate, recs = jax.lax.scan(
-            lambda c, e: act_body(params, c, e), astate, eps,
-            length=L)
-        if compute_priorities:
-            q_sa = recs.pop("q_sa")          # (L, E)
-            q_best = recs.pop("q_best")      # (L, E)
-            q_last = final_qbest(params, astate)
-            q_next = jnp.concatenate([q_best[1:], q_last[None]],
-                                     axis=0)
-            nonterm = 1.0 - recs["terminated"].astype(jnp.float32)
-            recs["priority"] = jnp.abs(
-                recs["reward"] + algo_cfg.gamma * nonterm * q_next
-                - q_sa)
-        chunk = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+            env_state=jax.tree.map(
+                lambda x: x[None] if _is_key(x) else x,
+                view.env_state),
+            done_prev=view.done_prev, rnn=view.rnn,
+            key=view.key[None], ep_ret=view.ep_ret,
+            ep_len=view.ep_len, ret_ring=view.ret_ring,
+            len_ring=view.len_ring,
+            ring_cursor=view.ring_cursor[None])
         return astate, chunk
 
     return act
@@ -397,6 +329,15 @@ class FusedApexTrainer:
         self.model_cfg = _mk_model_cfg(
             config.get("model", {}), spec.num_actions)
         self.algo_cfg = AlgoConfig(**config.get("algo", {}))
+        if self.algo_cfg.debug_outputs:
+            # the superstep's shard_map out_specs cover the scalar
+            # metric set only, and per-shard debug leaves would be
+            # pmean'd into nonsense — the transcript harness runs on
+            # the plain Trainer path
+            raise ValueError(
+                "algo.debug_outputs is not supported with "
+                'train.trainer="fused"; use the default trainer for '
+                "exact-numerics transcripts")
         self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
         if self.algo_cfg.algo == "r2d2":
             from rltime_tpu.training.r2d2 import r2d2_horizon
@@ -557,7 +498,13 @@ class FusedApexTrainer:
                    "host_state": self._host_state(),
                    "actor_state": jax.device_get(self.actor_state)}
         if self.loop_cfg.checkpoint_replay:
-            example["replay_state"] = jax.device_get(self.replay_state)
+            # structure-only skeleton: shapes/dtypes are free on live
+            # arrays; device_get here would pull the whole multi-
+            # hundred-MB storage ring D2H just to be thrown away
+            # (ReplayState holds no PRNG-key leaves, so zeros suffice)
+            example["replay_state"] = jax.tree.map(
+                lambda x: np.zeros(x.shape, x.dtype),
+                self.replay_state)
         restored = ckpt_lib.restore(self.result_dir, step, example)
         sh = lambda spec: NamedSharding(self.mesh, spec)  # noqa: E731
         self.train_state = jax.device_put(restored["train_state"],

@@ -113,7 +113,7 @@ def test_device_cartpole_learns(tmp_path):
 
 def test_device_actor_inserted_priorities():
     """DeviceActor's in-scan actor-side priorities == a host-side
-    recomputation of |r + g*(1-term)*max_a Q(s') - Q(s,a)| from the
+    recomputation of |r + g*(1-done)*max_a Q(s') - Q(s,a)| from the
     emitted chunk (SURVEY.md §0 item 5 on the device path)."""
     from rltime_tpu.acting.device_actor import DeviceActor
     from rltime_tpu.envs.device import DeviceCartPole
@@ -146,8 +146,8 @@ def test_device_actor_inserted_priorities():
     q_last = np.asarray(model.apply(params, jnp.asarray(obs_last),
                                     ())[0]).max(axis=-1)
     q_next = np.concatenate([q_best[:, 1:], q_last[:, None]], axis=1)
-    nonterm = 1.0 - np.asarray(chunk["terminated"], np.float32)
+    nondone = 1.0 - np.asarray(chunk["done"], np.float32)
     expect = np.abs(np.asarray(chunk["reward"])
-                    + gamma * nonterm * q_next - q_sa)
+                    + gamma * nondone * q_next - q_sa)
     np.testing.assert_allclose(np.asarray(chunk["priority"]), expect,
                                rtol=1e-5, atol=1e-6)

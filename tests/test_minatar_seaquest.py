@@ -218,7 +218,8 @@ class ScalarSeaquest:
         o = np.zeros((10, 10, 10), np.uint8)
         o[self.sub_y, self.sub_x, 0] = 1
         bx = self.sub_x - 1 if self.sub_or else self.sub_x + 1
-        o[self.sub_y, min(9, max(0, bx)), 1] = 1
+        if 0 <= bx <= 9:
+            o[self.sub_y, bx, 1] = 1
         for b in self.fb:
             if b is not None:
                 o[b[1], b[0], 2] = 1

@@ -37,7 +37,11 @@ def main():
                 for k in out[0]}
 
     results = {}
-    for s in sweep:
+    for n, s in enumerate(sweep):
+        if n > 0:
+            # p.tstate/p.rstate were donated by the previous S's first
+            # call — rebuild fresh state (cheap vs the measurements)
+            p = benchprog.build()
         tstate, rstate = p.tstate, p.rstate
         # compile + warm at this S
         t0 = time.perf_counter()
@@ -59,9 +63,6 @@ def main():
         print(f"S={s:3d}: {tx:12,.1f} tx/s "
               f"({dispatches} dispatches, {dt*1e3/dispatches:.1f} "
               f"ms/dispatch, first-call {compile_s:.1f}s)")
-        # drop superstep state between S values; p.tstate/p.rstate were
-        # donated on the first call, so rebuild fresh state per S
-        p = benchprog.build()
 
     best = max(results, key=results.get)
     print(f"best: S={best} at {results[best]:,.1f} tx/s")
