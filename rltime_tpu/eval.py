@@ -13,7 +13,7 @@ import sys
 
 def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
              seed: int = 1234, max_steps: int = 200_000,
-             record_path: str = ""):
+             record_path: str = "", best: bool = False):
 
     import jax
     import numpy as np
@@ -48,7 +48,13 @@ def evaluate(result_dir: str, episodes: int = 10, eps: float = 1e-3,
                       _FixedEps(eps), jax.random.key(seed),
                       chunk_len=64)
 
-    restored = ckpt_lib.restore(result_dir)
+    step = None
+    if best:
+        # best-scoring checkpoint (train.track_best); falls back to
+        # the latest when no best was recorded
+        b = ckpt_lib.best_step(result_dir)
+        step = b["step"] if b else None
+    restored = ckpt_lib.restore(result_dir, step)
     params = restored["train_state"]["params"]
     # orbax returns plain dicts; flax accepts dict params directly.
 
@@ -103,13 +109,16 @@ def main(argv=None):
     parser.add_argument("--record", default="",
                         help="path.npz: record lane-0 obs frames "
                              "(+ best-effort .mp4) for image envs")
+    parser.add_argument("--best", action="store_true",
+                        help="evaluate the best-scoring checkpoint "
+                             "(train.track_best) instead of the last")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     report = evaluate(args.result_dir, args.episodes, args.eps,
-                      record_path=args.record)
+                      record_path=args.record, best=args.best)
     print(json.dumps(report))
     return 0
 

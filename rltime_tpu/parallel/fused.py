@@ -403,6 +403,7 @@ class FusedApexTrainer:
         self.env_steps = 0
         self.updates_done = 0
         self._stats_popped = [0] * d
+        self._best_score = float("-inf")
         if self.loop_cfg.resume:
             self._try_resume()
 
@@ -548,6 +549,20 @@ class FusedApexTrainer:
                         np.mean(rets))
                     scalars["episode_return_median"] = float(
                         np.median(rets))
+                    # best-checkpoint tracking (train.track_best),
+                    # same rule as Trainer._maybe_save_best
+                    if (cfg.track_best
+                            and len(rets) >= cfg.best_min_episodes
+                            and scalars["episode_return_mean"]
+                            > self._best_score):
+                        from rltime_tpu.training import (
+                            checkpoint as ckpt_lib)
+                        self._best_score = \
+                            scalars["episode_return_mean"]
+                        self.save_checkpoint()
+                        ckpt_lib.record_best(self.result_dir,
+                                             self.env_steps,
+                                             self._best_score)
                 for k, v in m.items():
                     scalars[f"train/{k}"] = float(v)
                 self.logger.log_scalars(self.env_steps, scalars)

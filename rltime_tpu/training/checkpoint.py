@@ -90,6 +90,27 @@ def latest_step(result_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def record_best(result_dir: str, step: int, score: float) -> None:
+    """Mark the checkpoint at `step` as the best-scoring one so far
+    (training-time episode return mean). Checkpoint dirs are never
+    garbage-collected, so the marked step stays loadable."""
+    import json
+    d = os.path.join(result_dir, "checkpoints")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump({"step": int(step), "score": float(score)}, f)
+
+
+def best_step(result_dir: str) -> Optional[Dict[str, Any]]:
+    """{"step": int, "score": float} of the best checkpoint, or None."""
+    import json
+    p = os.path.join(result_dir, "checkpoints", "best.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def restore(result_dir: str, step: Optional[int] = None,
             example: Optional[dict] = None) -> Dict[str, Any]:
     if step is None:

@@ -41,6 +41,12 @@ class AlgoConfig:
     double_q: bool = True
     huber_kappa: float = 1.0
     lr: float = 1e-4
+    # Optional linear LR decay over `lr_decay_updates` learner updates
+    # (0 = constant LR). Late-training Q oscillation on small tasks
+    # (CartPole) moves the final greedy policy off its learned
+    # optimum; annealing LR to lr_end pins it.
+    lr_end: float = 0.0
+    lr_decay_updates: int = 0
     adam_eps: float = 1e-8
     optimizer: str = "adam"        # "adam" | "rmsprop" (centered, the
                                    # Ape-X/Nature-DQN choice)
@@ -84,10 +90,14 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: AlgoConfig):
+    lr = cfg.lr
+    if cfg.lr_decay_updates > 0:
+        lr = optax.linear_schedule(cfg.lr, cfg.lr_end,
+                                   cfg.lr_decay_updates)
     if cfg.optimizer == "adam":
-        tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
+        tx = optax.adam(lr, eps=cfg.adam_eps)
     elif cfg.optimizer == "rmsprop":
-        tx = optax.rmsprop(cfg.lr, decay=cfg.rmsprop_decay,
+        tx = optax.rmsprop(lr, decay=cfg.rmsprop_decay,
                            eps=cfg.adam_eps, centered=True)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

@@ -48,6 +48,11 @@ class TrainLoopConfig:
     checkpoint_interval: int = 50_000
     checkpoint_replay: bool = False
     resume: bool = False
+    # Best-checkpoint tracking: snapshot whenever the log-interval
+    # episode return mean (>= best_min_episodes episodes) makes a new
+    # high; `eval --best` loads it. checkpoints/best.json marks it.
+    track_best: bool = True
+    best_min_episodes: int = 5
     # exact-numerics transcript (utils/transcript.py): record actions,
     # sampled leaves, and |TD| digests every chunk.
     record_transcript: bool = False
@@ -204,6 +209,7 @@ class Trainer:
         self._t_start = time.time()
         self._steps_at_last_log = 0
         self._time_at_last_log = self._t_start
+        self._best_score = float("-inf")
 
         if self.loop_cfg.resume:
             self._try_resume()
@@ -219,6 +225,20 @@ class Trainer:
         path = ckpt_lib.save(self.result_dir, self.actor.env_steps,
                              self.train_state, self._host_state(), rp)
         return path
+
+    def _maybe_save_best(self, mean_return: float, n_episodes: int):
+        """Best-checkpoint tracking (train.track_best): snapshot the
+        params whenever the log-interval episode mean makes a new high
+        (DQN's end-of-run policy can oscillate off its optimum; eval
+        --best loads this instead of the final checkpoint)."""
+        if (not self.loop_cfg.track_best
+                or n_episodes < self.loop_cfg.best_min_episodes
+                or mean_return <= self._best_score):
+            return
+        self._best_score = mean_return
+        self.save_checkpoint()
+        ckpt_lib.record_best(self.result_dir, self.actor.env_steps,
+                             mean_return)
 
     def _try_resume(self):
         step = ckpt_lib.latest_step(self.result_dir)
@@ -319,6 +339,8 @@ class Trainer:
             scalars["episode_return_mean"] = float(np.mean(rets))
             scalars["episode_return_median"] = float(np.median(rets))
             scalars["episode_len_mean"] = float(np.mean(lens))
+            self._maybe_save_best(scalars["episode_return_mean"],
+                                  len(rets))
         if hasattr(self.env, "pop_completed_scores"):
             scores = self.env.pop_completed_scores()
             if scores:

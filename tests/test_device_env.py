@@ -104,10 +104,10 @@ def test_device_cartpole_learns(tmp_path):
     from rltime_tpu.config.config import load_config
     from rltime_tpu.eval import evaluate
     cfg = load_config("cartpole_dqn_device")
-    cfg["train"]["log_interval"] = 10**9
+    cfg["train"]["log_interval"] = 20000
     d = str(tmp_path / "dl")
     Trainer(cfg, d).train()
-    rep = evaluate(d, episodes=10, max_steps=100_000)
+    rep = evaluate(d, episodes=10, max_steps=100_000, best=True)
     assert rep["return_mean"] >= 475, rep
 
 
