@@ -311,6 +311,10 @@ def make_multi_update_step(update_step, num_updates: int):
 
     Cuts per-update dispatch/launch overhead K-fold. Returns the
     metrics of the LAST step (same contract as a single update).
+    Production paths use make_insert_and_update_step (insert fused
+    in); this update-only shape is what the measurement tools isolate
+    (tools/profile_update.py, tools/measure_tpu.py,
+    tools/compare_samplers.py).
     """
     def multi(state, rstate, beta):
         return _scan_updates(update_step, state, rstate, beta,
