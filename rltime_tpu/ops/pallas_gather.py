@@ -121,16 +121,22 @@ def window_gather_reference(storage, env, col, window):
 # at once (start-all/wait-all per grid step) so HBM latency overlaps —
 # the cross-grid double-buffering the round-2 status block planned.
 #
-# Storage rows must be 128-lane aligned for Mosaic HBM slicing (the
-# documented constraint): obs are flattened+padded to R = ceil(prod(
-# obs_shape)/128)*128 bytes per row, e.g. 84x84=7056 -> 7168. The 1.6%
-# pad also buys aligned, purely-contiguous DMA rows.
+# Storage rows must be tile-aligned for Mosaic HBM slicing. In a 3D
+# (E, T, R) memref the (sublane, lane) tiling lands on (T, R), which
+# forbids slicing T by a window length that isn't a multiple of 8
+# (measured on-chip: "Slice shape along dimension 1 must be aligned to
+# tiling (8), but is 7" for the F+n=7 union). So each row is padded to
+# a multiple of 8*128=1024 bytes and VIEWED as its own (8, R/8)
+# tile-aligned 2D block — the memref becomes (E, T, 8, R/8), T is
+# untiled again, and arbitrary window lengths slice cleanly. For
+# 84x84=7056 the pad is to 7168 (1.6%), which also buys aligned,
+# purely-contiguous DMA rows.
 
 def pad_rows(storage: jnp.ndarray) -> jnp.ndarray:
-    """(E, T, *obs) -> (E, T, R) flattened rows padded to 128 lanes."""
+    """(E, T, *obs) -> (E, T, R) flattened rows, R % 1024 == 0."""
     E, T = storage.shape[:2]
     row = int(np.prod(storage.shape[2:]))
-    R = -(-row // 128) * 128
+    R = -(-row // 1024) * 1024
     flat = storage.reshape(E, T, row)
     if R == row:
         return flat
@@ -145,14 +151,17 @@ def fused_union_gather(storage: jnp.ndarray, env: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
     """out[b, w] = storage[env[b], (col0[b]+w) % T]  (B, window, R).
 
-    storage: (E, T, R) padded rows (R % 128 == 0 — see pad_rows).
-    `col0` is the FIRST column of the union window (col - lookback;
-    may be negative, wrapped here). B must divide by `group`.
+    storage: (E, T, R) padded rows (R % 1024 == 0 — see pad_rows; it
+    is viewed as (E, T, 8, R/8) so the T axis stays untiled and any
+    window length is DMA-sliceable). `col0` is the FIRST column of the
+    union window (col - lookback; may be negative, wrapped here). B
+    must divide by `group`.
     """
     E, T, R = storage.shape
     B = env.shape[0]
-    assert R % 128 == 0, "rows must be 128-lane aligned (pad_rows)"
+    assert R % 1024 == 0, "rows must be (8,128)-tile padded (pad_rows)"
     assert B % group == 0, "batch must divide by DMA group size"
+    storage = storage.reshape(E, T, 8, R // 8)
     col0 = jnp.mod(col0, T).astype(jnp.int32)
     env = env.astype(jnp.int32)
     W = window
@@ -209,13 +218,15 @@ def fused_union_gather(storage: jnp.ndarray, env: jnp.ndarray,
                 for r in rows:
                     r.wait()
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, W, R), storage.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, W, 8, R // 8),
+                                       storage.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),
         interpret=interpret,
     )(env, col0, storage)
+    return out.reshape(B, W, R)
 
 
 def split_union(union: jnp.ndarray, frame_stack: int, n_step: int,

@@ -56,7 +56,7 @@ def test_fused_union_gather_matches_reference():
     storage = jnp.array(rng.integers(0, 255, (E, T, 12, 16),
                                      dtype=np.uint8))
     padded = pad_rows(storage)
-    assert padded.shape == (E, T, 256)  # 12*16=192 -> 2 lanes of 128
+    assert padded.shape == (E, T, 1024)  # 192 -> one (8,128) tile row
     B = 16
     env = jnp.array(rng.integers(0, E, B), jnp.int32)
     col = jnp.array(rng.integers(0, T, B), jnp.int32)  # incl. seams
