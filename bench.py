@@ -65,7 +65,7 @@ def _bench_learner():
                                           warm)
     float(np.asarray(metrics["loss"]))
 
-    dispatches = 6
+    dispatches = 4   # 4 x S=32 x K=4 x 256 = 128k transitions timed
     # Pregenerate + pre-transfer insert chunks so the timed region
     # measures the DEVICE pipeline (sample/gather/fwd/bwd/priorities +
     # inserts), not host-side numpy RNG.

@@ -26,7 +26,8 @@ import numpy as np
 # Canonical bench shapes (BASELINE.json config #2 scaled to one chip).
 E, T, L, F, N_STEP = 64, 1024, 32, 4, 3
 BATCH = 256
-S = 16          # chunks (supersteps) per dispatch
+S = 32          # chunks (supersteps) per dispatch (r3 on-chip sweep:
+                # 280k tx/s vs 267k @16, 251k @8 — tools/sweep_superstep)
 K = 4           # learner updates per chunk
 
 
