@@ -123,7 +123,7 @@ def _bench_minatar_fused():
         "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
                   "chunk_len": 16, "updates_per_chunk": 32,
                   "log_interval": 10**9,
-                  "supersteps_per_dispatch": 4},
+                  "supersteps_per_dispatch": 8},
     }
     t = FusedApexTrainer(cfg, tempfile.mkdtemp(),
                          mesh=make_mesh(jax.devices()[:1]))
