@@ -338,3 +338,48 @@ def frame_stack_gather(cfg: ReplayConfig, state: ReplayState,
     # because the reset `done` sits inside the window.
     shape = (valid.shape[0], valid.shape[1]) + (1,) * (frames.ndim - 2)
     return frames * valid.reshape(shape).astype(frames.dtype)
+
+
+def _stack_validity(dones: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, F-1) done flags old..new -> (B, F) frame validity (the
+    cumprod rule from frame_stack_gather, factored for reuse)."""
+    dnf = dones.astype(jnp.float32)
+    rev_cum = jnp.cumprod((1.0 - dnf)[:, ::-1], axis=1)[:, ::-1]
+    return jnp.concatenate(
+        [rev_cum, jnp.ones_like(rev_cum[:, :1])], axis=1).astype(dtype)
+
+
+def frame_stack_union_gather(cfg: ReplayConfig, state: ReplayState,
+                             env: jnp.ndarray, col: jnp.ndarray,
+                             num_frames: int, n_step: int,
+                             obs_field: str = "obs",
+                             done_field: str = "done"):
+    """Both of the FF learner's frame stacks from ONE row gather.
+
+    The stacks at `col` and `col + n_step` overlap in F - n rows; the
+    union window [col-F+1, col+n] is F+n rows vs 2F for two separate
+    frame_stack_gather calls (for the bench shapes F=4, n=3: 7 rows
+    instead of 8, and one gather kernel instead of two). Validity
+    masks are applied per slice with the exact frame_stack_gather
+    rule, so the result is bit-identical to the two-call path
+    (tests/test_replay.py::test_union_gather_matches_two_stacks).
+    Returns (obs_t, obs_tn), each (B, num_frames, ...).
+    """
+    F, n = num_frames, n_step
+    assert F > 1, "union gather only pays off for real frame stacks"
+    T = cfg.steps_per_env
+    W = F + n
+    offs = jnp.arange(W, dtype=jnp.int32)          # 0..W-1, old..new
+    cols = jnp.mod(col[:, None] - (F - 1) + offs[None, :], T)
+    rows = state.storage[obs_field][env[:, None], cols]   # (B, W, ...)
+    # done flags between consecutive union rows: done[col-F+1+j] for
+    # j in [0, W-1), i.e. the boundary ABOVE row j.
+    dcols = jnp.mod(col[:, None] - (F - 1) + offs[None, :-1], T)
+    dones = state.storage[done_field][env[:, None], dcols]  # (B, W-1)
+    shape0 = (rows.shape[0], F) + (1,) * (rows.ndim - 2)
+    v_t = _stack_validity(dones[:, :F - 1], rows.dtype).reshape(shape0)
+    v_tn = _stack_validity(dones[:, n:n + F - 1],
+                           rows.dtype).reshape(shape0)
+    obs_t = rows[:, :F] * v_t
+    obs_tn = rows[:, n:n + F] * v_tn
+    return obs_t, obs_tn

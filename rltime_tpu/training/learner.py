@@ -24,8 +24,9 @@ import optax
 from flax import struct
 
 from rltime_tpu.history.replay import (
-    ReplayConfig, ReplayState, frame_stack_gather, replay_gather_at,
-    replay_gather_window, replay_sample_indices, replay_update_priorities,
+    ReplayConfig, ReplayState, frame_stack_gather,
+    frame_stack_union_gather, replay_gather_at, replay_gather_window,
+    replay_sample_indices, replay_update_priorities,
 )
 from rltime_tpu.models.policy import ModelConfig, make_model
 from rltime_tpu.ops import losses, returns
@@ -132,9 +133,16 @@ def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
                   env, col, frame_stack: int, n_step: int,
                   flatten: bool, recurrent_fields: bool = False):
     """Gather everything one FF update needs from the ring storage."""
-    obs_t = frame_stack_gather(replay_cfg, rstate, env, col, frame_stack)
-    obs_tn = frame_stack_gather(replay_cfg, rstate, env,
-                                col + n_step, frame_stack)
+    if frame_stack > 1:
+        # one union-window gather for both stacks (F+n rows vs 2F;
+        # bit-identical to the two-call path — replay.py docstring)
+        obs_t, obs_tn = frame_stack_union_gather(
+            replay_cfg, rstate, env, col, frame_stack, n_step)
+    else:
+        obs_t = frame_stack_gather(replay_cfg, rstate, env, col,
+                                   frame_stack)
+        obs_tn = frame_stack_gather(replay_cfg, rstate, env,
+                                    col + n_step, frame_stack)
     win = replay_gather_window(replay_cfg, rstate, env, col, n_step,
                                fields=["reward", "done", "terminated"])
     at = replay_gather_at(replay_cfg, rstate, env, col, fields=["action"])

@@ -216,3 +216,36 @@ def test_inserted_priorities_activation():
     prio = np.asarray(_leaf_prio(cfg, st, jnp.arange(8)))
     np.testing.assert_allclose(prio, [5., 3., 2., 7., 1., 1., 0., 0.])
     assert float(st.max_priority) == 7.0
+
+
+def test_union_gather_matches_two_stacks():
+    """frame_stack_union_gather == two frame_stack_gather calls,
+    bit-exact, including episode-boundary masking and ring seams."""
+    import numpy as np
+    from rltime_tpu.history.replay import (
+        ReplayConfig, frame_stack_gather, frame_stack_union_gather,
+        replay_init, replay_insert,
+    )
+    E, T, L, F, n = 4, 64, 8, 4, 3
+    cfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=n,
+                       chunk_len=L, lookback=F - 1, prioritized=False)
+    fields = {"obs": ((5, 5), jnp.uint8), "action": ((), jnp.int32),
+              "reward": ((), jnp.float32),
+              "terminated": ((), jnp.bool_), "done": ((), jnp.bool_)}
+    state = replay_init(cfg, fields)
+    rng = np.random.default_rng(3)
+    for k in range(12):              # > T/L: exercises the ring seam
+        state = replay_insert(cfg, state, dict(
+            obs=rng.integers(0, 255, (E, L, 5, 5), dtype=np.uint8),
+            action=rng.integers(0, 3, (E, L)).astype(np.int32),
+            reward=rng.normal(size=(E, L)).astype(np.float32),
+            terminated=(rng.random((E, L)) < 0.15),
+            done=(rng.random((E, L)) < 0.2)))
+    B = 128
+    env = jnp.asarray(rng.integers(0, E, (B,)).astype(np.int32))
+    col = jnp.asarray(rng.integers(0, T, (B,)).astype(np.int32))
+    a = frame_stack_gather(cfg, state, env, col, F)
+    b = frame_stack_gather(cfg, state, env, col + n, F)
+    u_a, u_b = frame_stack_union_gather(cfg, state, env, col, F, n)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(u_a))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(u_b))
