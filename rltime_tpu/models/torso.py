@@ -35,6 +35,12 @@ class MinAtarCNNTorso(nn.Module):
     (B, F, H, W, C) from the replay frame-window gather, in which case
     the frame axis is merged into channels (MinAtar uses F=1; the
     trail plane encodes motion).
+
+    compute_dtype stays float32 by default ON PURPOSE: measured on
+    v5e (r3, fused superstep A/B in one process) bf16 is ~30% SLOWER
+    here — 132k vs 190k env-steps/s — because the 10x10x16 convs are
+    too small for the MXU to pay back the cast/relayout overhead.
+    (NatureCNNTorso, whose convs are big, defaults to bf16.)
     """
     channels: Sequence[int] = (16,)
     fc: int = 128
