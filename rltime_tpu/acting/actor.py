@@ -176,10 +176,6 @@ class Actor:
         self.completed_returns: list = []
         self.completed_lengths: list = []
 
-    def set_params(self, params):
-        """Weight publication point (SURVEY.md §3.1 'publish weights')."""
-        self.params = params
-
     def rollout(self, params, num_steps: Optional[int] = None):
         """Collect a chunk of num_steps lockstep transitions.
 

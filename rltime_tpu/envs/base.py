@@ -19,7 +19,7 @@ TPU-native replacement for the reference's subprocess vec-env
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 

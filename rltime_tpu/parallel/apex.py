@@ -90,7 +90,9 @@ class ApexTrainer:
                                        spec.num_actions)
         self.algo_cfg = AlgoConfig(**config.get("algo", {}))
         self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
-        self.publish_interval = int(config.get("publish_interval", 1))
+        # single address for this knob: train.publish_interval (the
+        # same field Trainer's async pool reads)
+        self.publish_interval = int(self.loop_cfg.publish_interval)
 
         if self.algo_cfg.algo == "r2d2":
             from rltime_tpu.training.r2d2 import r2d2_horizon
@@ -181,6 +183,8 @@ class ApexTrainer:
         self.result_dir = result_dir
         self.logger = (RunLogger(result_dir, config)
                        if self.is_lead else None)
+        from rltime_tpu.utils.profiling import PhaseTimers
+        self.timers = PhaseTimers()
         self._steps_at_last_log = 0
         self._time_at_last_log = time.time()
         if self.loop_cfg.resume:
@@ -213,17 +217,21 @@ class ApexTrainer:
         return out
 
     def train_chunk(self):
-        chunk, _ = self.actor.rollout(self._actor_params)
-        self.replay_state = self._insert(
-            self.replay_state, self._make_global_chunk(chunk))
+        with self.timers.phase("act"):
+            chunk, _ = self.actor.rollout(self._actor_params)
+        with self.timers.phase("insert"):
+            self.replay_state = self._insert(
+                self.replay_state, self._make_global_chunk(chunk))
         self._chunks += 1
         metrics = {}
         if self.global_env_steps >= self.loop_cfg.warmup_env_steps:
             # host scalar: valid on every process of a multi-host run
             # (a committed jnp scalar would be single-device only)
             beta = np.float32(self._beta())
-            self.train_state, self.replay_state, metrics = \
-                self._update(self.train_state, self.replay_state, beta)
+            with self.timers.phase("update"):
+                self.train_state, self.replay_state, metrics = \
+                    self._update(self.train_state, self.replay_state,
+                                 beta)
             self.updates_done += self.loop_cfg.updates_per_chunk
             if self._chunks % self.publish_interval == 0:
                 self._actor_params = jax.device_get(
@@ -350,6 +358,9 @@ class ApexTrainer:
         return self
 
     def _log(self, metrics):
+        """Same scalar set as Trainer._log (the multi-host path is the
+        one whose curves get compared): clipped returns, TRUE game
+        scores, episode lengths, phase timers, throughput."""
         rets, lens = self.actor.episode_stats()
         now = time.time()
         steps = self.global_env_steps
@@ -361,6 +372,16 @@ class ApexTrainer:
                        steps_per_s=sps)
         if rets:
             scalars["episode_return_mean"] = float(np.mean(rets))
+            scalars["episode_return_median"] = float(np.median(rets))
+            scalars["episode_len_mean"] = float(np.mean(lens))
+        if hasattr(self.env, "pop_completed_scores"):
+            scores = self.env.pop_completed_scores()
+            if scores:
+                scalars["episode_score_mean"] = float(np.mean(scores))
+                scalars["episode_score_median"] = float(
+                    np.median(scores))
+        for name, secs in self.timers.pop().items():
+            scalars[f"time/{name}_s"] = secs
         for k, v in metrics.items():
             scalars[f"train/{k}"] = float(v)
         self.logger.log_scalars(steps, scalars)

@@ -404,6 +404,7 @@ class FusedApexTrainer:
         self.updates_done = 0
         self._stats_popped = [0] * d
         self._best_score = float("-inf")
+        self._protected_steps: set = set()
         if self.loop_cfg.resume:
             self._try_resume()
 
@@ -481,20 +482,27 @@ class FusedApexTrainer:
                     updates=self.updates_done,
                     stats_popped=list(self._stats_popped))
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, protect: bool = True):
         from rltime_tpu.training import checkpoint as ckpt_lib
         rp = (jax.device_get(self.replay_state)
               if self.loop_cfg.checkpoint_replay else None)
-        return ckpt_lib.save(
+        path = ckpt_lib.save(
             self.result_dir, self.env_steps,
             jax.device_get(self.train_state), self._host_state(), rp,
             extra={"actor_state": jax.device_get(self.actor_state)})
+        if protect:
+            self._protected_steps.add(self.env_steps)
+        return path
 
     def _try_resume(self):
         from rltime_tpu.training import checkpoint as ckpt_lib
         step = ckpt_lib.latest_step(self.result_dir)
         if step is None:
             return
+        best = ckpt_lib.best_step(self.result_dir)
+        if best is not None:
+            # a resumed run must not mark a worse mean as 'best'
+            self._best_score = float(best["score"])
         example = {"train_state": jax.device_get(self.train_state),
                    "host_state": self._host_state(),
                    "actor_state": jax.device_get(self.actor_state)}
@@ -549,20 +557,16 @@ class FusedApexTrainer:
                         np.mean(rets))
                     scalars["episode_return_median"] = float(
                         np.median(rets))
-                    # best-checkpoint tracking (train.track_best),
-                    # same rule as Trainer._maybe_save_best
-                    if (cfg.track_best
-                            and len(rets) >= cfg.best_min_episodes
-                            and scalars["episode_return_mean"]
-                            > self._best_score):
+                    if cfg.track_best:
                         from rltime_tpu.training import (
                             checkpoint as ckpt_lib)
-                        self._best_score = \
-                            scalars["episode_return_mean"]
-                        self.save_checkpoint()
-                        ckpt_lib.record_best(self.result_dir,
-                                             self.env_steps,
-                                             self._best_score)
+                        self._best_score = ckpt_lib.maybe_record_best(
+                            self.result_dir, self._best_score,
+                            scalars["episode_return_mean"], len(rets),
+                            cfg.best_min_episodes, self.env_steps,
+                            lambda: self.save_checkpoint(
+                                protect=False),
+                            self._protected_steps)
                 for k, v in m.items():
                     scalars[f"train/{k}"] = float(v)
                 self.logger.log_scalars(self.env_steps, scalars)

@@ -90,15 +90,51 @@ def latest_step(result_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def record_best(result_dir: str, step: int, score: float) -> None:
+def record_best(result_dir: str, step: int, score: float,
+                best_only: bool = False) -> None:
     """Mark the checkpoint at `step` as the best-scoring one so far
-    (training-time episode return mean). Checkpoint dirs are never
-    garbage-collected, so the marked step stays loadable."""
+    (training-time episode return mean). `best_only` records whether
+    the checkpoint dir exists SOLELY for best-tracking (i.e. is not
+    also an interval/final checkpoint) — such dirs are reclaimed by
+    `maybe_record_best` when a newer best supersedes them."""
     import json
     d = os.path.join(result_dir, "checkpoints")
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "best.json"), "w") as f:
-        json.dump({"step": int(step), "score": float(score)}, f)
+        json.dump({"step": int(step), "score": float(score),
+                   "best_only": bool(best_only)}, f)
+
+
+def maybe_record_best(result_dir: str, best_score: float,
+                      mean_return: float, n_episodes: int,
+                      min_episodes: int, env_steps: int, save_fn,
+                      protected_steps=()) -> float:
+    """Best-checkpoint rule shared by Trainer and FusedApexTrainer.
+
+    Snapshot whenever the log-interval episode mean (over at least
+    `min_episodes` episodes) makes a new high; `eval --best` loads the
+    marked step. Returns the updated best score (== `best_score` when
+    no new best). When a new best is recorded, the PREVIOUS best
+    checkpoint dir is deleted iff it was created solely by best
+    tracking (`best_only` in best.json) and is not in
+    `protected_steps` (interval/final checkpoint steps) — so a
+    steadily improving long run keeps exactly ONE best snapshot
+    instead of accumulating dozens."""
+    if n_episodes < min_episodes or mean_return <= best_score:
+        return best_score
+    prev = best_step(result_dir)
+    save_fn()
+    protected = set(int(s) for s in protected_steps)
+    record_best(result_dir, env_steps, mean_return,
+                best_only=env_steps not in protected)
+    if (prev is not None and prev.get("best_only")
+            and int(prev["step"]) != int(env_steps)
+            and int(prev["step"]) not in protected):
+        import shutil
+        shutil.rmtree(os.path.join(result_dir, "checkpoints",
+                                   str(prev["step"])),
+                      ignore_errors=True)
+    return mean_return
 
 
 def best_step(result_dir: str) -> Optional[Dict[str, Any]]:

@@ -210,6 +210,7 @@ class Trainer:
         self._steps_at_last_log = 0
         self._time_at_last_log = self._t_start
         self._best_score = float("-inf")
+        self._protected_steps: set = set()
 
         if self.loop_cfg.resume:
             self._try_resume()
@@ -219,31 +220,40 @@ class Trainer:
         return dict(env_steps=self.actor.env_steps,
                     updates=self.updates_done)
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, protect: bool = True):
+        """`protect=True` (interval/final saves) marks the step as
+        never garbage-collectable by best-checkpoint cleanup."""
         rp = (self.replay_state if self.loop_cfg.checkpoint_replay
               else None)
         path = ckpt_lib.save(self.result_dir, self.actor.env_steps,
                              self.train_state, self._host_state(), rp)
+        if protect:
+            self._protected_steps.add(self.actor.env_steps)
         return path
 
     def _maybe_save_best(self, mean_return: float, n_episodes: int):
         """Best-checkpoint tracking (train.track_best): snapshot the
         params whenever the log-interval episode mean makes a new high
         (DQN's end-of-run policy can oscillate off its optimum; eval
-        --best loads this instead of the final checkpoint)."""
-        if (not self.loop_cfg.track_best
-                or n_episodes < self.loop_cfg.best_min_episodes
-                or mean_return <= self._best_score):
+        --best loads this instead of the final checkpoint). Shared
+        rule + old-best cleanup: checkpoint.maybe_record_best."""
+        if not self.loop_cfg.track_best:
             return
-        self._best_score = mean_return
-        self.save_checkpoint()
-        ckpt_lib.record_best(self.result_dir, self.actor.env_steps,
-                             mean_return)
+        self._best_score = ckpt_lib.maybe_record_best(
+            self.result_dir, self._best_score, mean_return, n_episodes,
+            self.loop_cfg.best_min_episodes, self.actor.env_steps,
+            lambda: self.save_checkpoint(protect=False),
+            self._protected_steps)
 
     def _try_resume(self):
         step = ckpt_lib.latest_step(self.result_dir)
         if step is None:
             return
+        # Seed best-score tracking from the recorded best so a resumed
+        # run can't overwrite best.json with a worse post-restart mean.
+        best = ckpt_lib.best_step(self.result_dir)
+        if best is not None:
+            self._best_score = float(best["score"])
         example = {"train_state": self.train_state,
                    "host_state": self._host_state()}
         if self.loop_cfg.checkpoint_replay:

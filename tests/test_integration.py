@@ -171,7 +171,8 @@ def test_rmsprop_optimizer(tmp_path):
 def test_cartpole_iqn_learns(tmp_path):
     """SURVEY.md §0 item 7 learning evidence for IQN (round-2 verdict
     Missing #1): the implicit-quantile head must LEARN, not just run.
-    CartPole-v1 greedy eval >= 400 within 600k steps\n    (best-checkpoint selection)."""
+    CartPole-v1 greedy eval >= 400 within 600k steps
+    (best-checkpoint selection)."""
     from rltime_tpu.eval import evaluate
     cfg = load_config("cartpole_dqn")
     cfg["model"].update({"head": "iqn", "iqn_embed_dim": 32,
@@ -195,7 +196,8 @@ def test_cartpole_iqn_learns(tmp_path):
 def test_cartpole_r2d2_learns(tmp_path):
     """SURVEY.md §0 item 7 learning evidence for R2D2 (round-2 verdict
     Missing #1): recurrent sequence replay with stored state + burn-in
-    must LEARN. CartPole-v1 greedy eval >= 450 within 400k steps\n    (best-checkpoint selection)."""
+    must LEARN. CartPole-v1 greedy eval >= 450 within 400k steps
+    (best-checkpoint selection)."""
     from rltime_tpu.eval import evaluate
     cfg = load_config("cartpole_dqn")
     cfg["model"].update({"mlp_hidden": [64], "lstm_size": 64})
