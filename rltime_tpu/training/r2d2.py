@@ -174,7 +174,13 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         return carry
 
     def update_step(state: TrainState, rstate: ReplayState, beta):
-        key, skey = jax.random.split(state.key)
+        # 3-way split matches the FF learner's key discipline exactly
+        # (key, sample key, [taus key unused here]) so the mesh/fused
+        # wrapper's replicated-key rule — carried key :=
+        # split(key, 3)[0] (mesh.py _one) — is algorithm-independent
+        # and d=1 sharding is bit-identical to this local step for
+        # r2d2 too (tests/test_parallel.py fused-vs-trainer params).
+        key, skey, _ = jax.random.split(state.key, 3)
         idx = replay_sample_indices(replay_cfg, rstate, skey, B, beta)
         env, col = idx["env"], idx["col"]
 
