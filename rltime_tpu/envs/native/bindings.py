@@ -28,6 +28,23 @@ def library_path() -> str:
     return _LIB_PATH
 
 
+def _ale_flags():
+    """Compile flags for the REAL ALE lane when headers are present
+    (SURVEY.md §2a: ale-py not in this image; when it is, its bundled
+    ale_interface.hpp + libale make the native lane a drop-in)."""
+    try:
+        import ale_py
+        inc = os.path.join(os.path.dirname(ale_py.__file__), "include")
+        if os.path.exists(os.path.join(inc, "ale_interface.hpp")):
+            lib_dir = os.path.dirname(ale_py.__file__)
+            return ["-DRLTIME_HAVE_ALE", f"-I{inc}",
+                    f"-L{lib_dir}", "-lale",
+                    f"-Wl,-rpath,{lib_dir}"]
+    except ImportError:
+        pass
+    return []
+
+
 def build_library(force: bool = False, tsan: bool = False) -> str:
     """Build the stepper .so; tsan=True builds a ThreadSanitizer
     variant (SURVEY.md §5.2: the host-side lane pool is the only
@@ -44,7 +61,7 @@ def build_library(force: bool = False, tsan: bool = False) -> str:
                    "-std=c++17", "-pthread"]
             if tsan:
                 cmd += ["-fsanitize=thread", "-g"]
-            cmd += [src, "-o", out]
+            cmd += [src, "-o", out] + _ale_flags()
             subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -63,6 +80,17 @@ def _load():
         lib.cartpole_step_many.argtypes = ([ctypes.c_void_p,
                                             ctypes.c_int32]
                                            + [ctypes.c_void_p] * 5)
+        lib.atari_backend.restype = ctypes.c_int32
+        lib.atari_create.restype = ctypes.c_void_p
+        lib.atari_create.argtypes = [
+            ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64]
+        lib.atari_destroy.argtypes = [ctypes.c_void_p]
+        lib.atari_num_actions.restype = ctypes.c_int32
+        lib.atari_num_actions.argtypes = [ctypes.c_void_p]
+        lib.atari_reset.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.atari_step.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         _LIB = lib
     return _LIB
 
@@ -126,6 +154,90 @@ class NativeCartPoleVecEnv(VecEnv):
     def close(self):
         if getattr(self, "_h", None):
             self._lib.cartpole_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def atari_backend() -> str:
+    """'ale' when the .so was compiled against real ALE headers
+    (RLTIME_HAVE_ALE), else 'synthetic'."""
+    return "ale" if _load().atari_backend() else "synthetic"
+
+
+@register("atari_native")
+class NativeAtariVecEnv(VecEnv):
+    """C++ Atari-shaped lane pool (stepper.cpp AtariPool).
+
+    With ALE headers at build time this drives REAL emulators through
+    the native DeepMind stack (noop/fire reset, frameskip max-pool,
+    EpisodicLife, truncation — mirroring envs/atari.py:_AtariLane;
+    grayscale/resize is an integer area resample, not cv2 INTER_AREA,
+    so frames are wrapper-equivalent, not cv2-bit-equal). Without
+    headers (this sandbox) the lanes are synthetic load generators
+    with the same 84x84 output contract and per-step screen traffic —
+    the engine-throughput proof harness (SURVEY.md §7 hard part 3)."""
+
+    def __init__(self, num_envs: int, rom: str = "pong", seed: int = 0,
+                 num_threads: int = 0, noop_max: int = 30,
+                 frameskip: int = 4, episodic_life: bool = True,
+                 fire_reset: bool = True, clip_rewards: bool = True,
+                 max_episode_frames: int = 108_000):
+        lib = _load()
+        self.num_envs = num_envs
+        self.clip_rewards = clip_rewards
+        if num_threads <= 0:
+            # emulator-priced lanes amortize the lockstep barrier at
+            # ~8 lanes/thread (cf. 1024 for the trivial CartPole lane)
+            num_threads = max(1, min(os.cpu_count() or 1,
+                                     num_envs // 8))
+        self._h = lib.atari_create(
+            num_envs, seed, num_threads, rom.encode(), noop_max,
+            frameskip, int(episodic_life), int(fire_reset),
+            max_episode_frames)
+        self._lib = lib
+        self.spec = EnvSpec((84, 84), np.uint8,
+                            int(lib.atari_num_actions(self._h)))
+        E = num_envs
+        self._obs = np.empty((E, 84, 84), np.uint8)
+        self._rew = np.empty((E,), np.float32)
+        self._term = np.empty((E,), np.uint8)
+        self._trunc = np.empty((E,), np.uint8)
+        self._over = np.empty((E,), np.uint8)
+        self._game_score = np.zeros((E,), np.float64)
+        self.completed_scores: list = []
+
+    def reset(self, seed: int = 0) -> np.ndarray:
+        self._game_score[:] = 0.0
+        self._lib.atari_reset(self._h, _ptr(self._obs))
+        return self._obs.copy()
+
+    def pop_completed_scores(self):
+        s, self.completed_scores = self.completed_scores, []
+        return s
+
+    def step(self, actions: np.ndarray):
+        a = np.ascontiguousarray(actions, np.int32)
+        self._lib.atari_step(self._h, _ptr(a), _ptr(self._obs),
+                             _ptr(self._rew), _ptr(self._term),
+                             _ptr(self._trunc), _ptr(self._over))
+        rew = self._rew.copy()
+        self._game_score += rew
+        for i in np.nonzero(self._over)[0]:
+            self.completed_scores.append(float(self._game_score[i]))
+            self._game_score[i] = 0.0
+        if self.clip_rewards:
+            rew = np.sign(rew).astype(np.float32)
+        return (self._obs.copy(), rew, self._term.astype(bool),
+                self._trunc.astype(bool))
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.atari_destroy(self._h)
             self._h = None
 
     def __del__(self):

@@ -245,11 +245,10 @@ class ApexTrainer:
 
     @staticmethod
     def _local_block(x) -> np.ndarray:
-        """This process's rows of a 'data'-sharded global array."""
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards],
-                              axis=0)
+        """This process's rows of a 'data'-sharded global array
+        (shared implementation: parallel/mesh.local_shard_rows)."""
+        from rltime_tpu.parallel.mesh import local_shard_rows
+        return local_shard_rows(x)
 
     def save_checkpoint(self):
         """Lead process saves the replicated learner state (orbax);

@@ -86,6 +86,40 @@ def replicate_global(tree, mesh: Mesh):
     return jax.tree.map(f, tree)
 
 
+def local_shard_rows(x) -> np.ndarray:
+    """This process's rows of a leading-axis-'data'-sharded global
+    array, oldest shard first. Typed PRNG key leaves come back as raw
+    uint32 key data (serializable). The per-process building block of
+    sidecar checkpoints (SURVEY.md §5.4 on the multi-host paths): no
+    cross-process data movement, no global-size host allocation."""
+    if (hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)):
+        x = jax.random.key_data(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def tree_from_local_rows(example, local_tree, mesh: Mesh):
+    """Inverse of mapping `local_shard_rows` over a pytree: rebuild the
+    'data'-sharded global pytree from each process's own rows.
+    `example` supplies key-leaf typing (its leaves may be live arrays
+    or shape/dtype skeletons)."""
+    sh = NamedSharding(mesh, P("data"))
+
+    def f(ex, x):
+        arr = jax.make_array_from_process_local_data(sh, np.asarray(x))
+        if (hasattr(ex, "dtype")
+                and jnp.issubdtype(ex.dtype, jax.dtypes.prng_key)):
+            impl = jax.random.key_impl(ex)
+            wrap = functools.partial(jax.random.wrap_key_data,
+                                     impl=impl)
+            arr = jax.jit(wrap, out_shardings=sh)(arr)
+        return arr
+
+    return jax.tree.map(f, example, local_tree)
+
+
 def sharded_replay_init(local_cfg: ReplayConfig, num_shards: int,
                         field_specs: Dict[str, Tuple[Tuple[int, ...], Any]],
                         mesh: Mesh) -> ReplayState:

@@ -44,7 +44,6 @@ def main(argv=None):
         jax.distributed.initialize()
 
     from rltime_tpu.config.config import apply_overrides, load_config
-    from rltime_tpu.parallel.apex import ApexTrainer
 
     cfg = load_config(args.config)
     cfg = apply_overrides(cfg, [o for o in overrides if "=" in o])
@@ -57,7 +56,17 @@ def main(argv=None):
               f"{jax.local_device_count()} local | "
               f"processes: {jax.process_count()}")
         print(json.dumps(cfg, indent=2))
-    ApexTrainer(cfg, result_dir).train()
+    # train.trainer selects the topology, like rltime_tpu.train:
+    # "apex" (default here): host envs, per-process actor shards;
+    # "fused": device envs, one-dispatch SPMD superstep per iteration
+    # across the whole process-spanning mesh (the flagship path).
+    trainer_kind = cfg.get("train", {}).get("trainer", "apex")
+    if trainer_kind == "fused":
+        from rltime_tpu.parallel.fused import FusedApexTrainer
+        FusedApexTrainer(cfg, result_dir).train()
+    else:
+        from rltime_tpu.parallel.apex import ApexTrainer
+        ApexTrainer(cfg, result_dir).train()
     return 0
 
 

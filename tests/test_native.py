@@ -123,3 +123,58 @@ print("tsan run done")
                             "PATH": "/usr/bin:/bin"})
     assert "tsan run done" in r.stdout, r.stderr[-2000:]
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_atari_lane_synthetic_backend():
+    """Atari-shaped native lanes (SURVEY.md §2a / §7 hard part 3):
+    84x84 uint8 frames, deterministic under seed, episodic-life
+    boundaries firing, true-score pops at game-over."""
+    from rltime_tpu.envs.native.bindings import (
+        NativeAtariVecEnv, atari_backend)
+    assert atari_backend() in ("ale", "synthetic")
+    env = NativeAtariVecEnv(num_envs=4, seed=7, num_threads=2)
+    obs = env.reset()
+    assert obs.shape == (4, 84, 84) and obs.dtype == np.uint8
+    assert env.spec.num_actions >= 3
+    rng = np.random.default_rng(0)
+    terms = overs = 0
+    for _ in range(400):
+        a = rng.integers(0, env.spec.num_actions, 4).astype(np.int32)
+        o, r, tm, tr = env.step(a)
+        assert o.shape == (4, 84, 84)
+        assert set(np.unique(r)) <= {-1.0, 0.0, 1.0}  # clipped
+        terms += int(tm.sum())
+    assert int((obs > 0).sum()) > 0
+    assert terms > 0                      # life-loss boundaries fired
+    assert len(env.pop_completed_scores()) > 0   # games completed
+    env.close()
+    # determinism: same seed, single-threaded replay of the same
+    # actions gives identical frames
+    e1 = NativeAtariVecEnv(num_envs=2, seed=3, num_threads=1)
+    e2 = NativeAtariVecEnv(num_envs=2, seed=3, num_threads=2)
+    o1, o2 = e1.reset(), e2.reset()
+    np.testing.assert_array_equal(o1, o2)
+    for _ in range(20):
+        a = np.zeros(2, np.int32)
+        o1 = e1.step(a)[0]
+        o2 = e2.step(a)[0]
+    np.testing.assert_array_equal(o1, o2)
+    e1.close()
+    e2.close()
+
+
+def test_atari_lane_real_ale_compiles():
+    """The real-ALE lane must COMPILE (drop-in promise): syntax-check
+    stepper.cpp with -DRLTIME_HAVE_ALE against a minimal mirror of the
+    public ALE C++ API (tests/fake_ale_include). Running it needs
+    ale-py + ROMs (absent in-sandbox, envs/atari.py gating)."""
+    import os
+    import subprocess
+    from rltime_tpu.envs.native import bindings
+    src = os.path.join(os.path.dirname(bindings.__file__),
+                       "stepper.cpp")
+    inc = os.path.join(os.path.dirname(__file__), "fake_ale_include")
+    r = subprocess.run(
+        ["g++", "-fsyntax-only", "-std=c++17", "-DRLTIME_HAVE_ALE",
+         f"-I{inc}", src], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
