@@ -63,6 +63,12 @@ class AlgoConfig:
     # truncation-as-termination approximation (the reference's
     # pre-gym-0.26 behavior — it never distinguishes the two).
     exact_truncation: bool = True
+    # DQN: fuse the two gradient-free next-obs forwards (online s' for
+    # double-Q argmax + target s') into ONE stacked-params vmap apply
+    # — same FLOPs, one conv fusion instead of two and a 2x-deep
+    # kernel for the MXU. Flag for on-chip A/B (tools/sweep_mfu.py);
+    # math is identical, reduction tiling may differ in last ulps.
+    batched_next_forward: bool = False
     # IQN
     num_tau: int = 64
     num_tau_prime: int = 64
@@ -178,12 +184,23 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     def loss_fn(params, target_params, batch, taus_key):
         if algo_cfg.algo == "dqn":
             q_t, _ = model.apply(params, batch["obs"], ())
-            q_tn_target, _ = model.apply(target_params, batch["next_obs"], ())
-            if algo_cfg.double_q:
-                q_tn_online, _ = model.apply(params, batch["next_obs"], ())
-                q_tn_online = jax.lax.stop_gradient(q_tn_online)
+            if algo_cfg.batched_next_forward and algo_cfg.double_q:
+                sp = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                  params, target_params)
+                q_next, _ = jax.vmap(
+                    model.apply, in_axes=(0, None, None))(
+                        sp, batch["next_obs"], ())
+                q_next = jax.lax.stop_gradient(q_next)
+                q_tn_online, q_tn_target = q_next[0], q_next[1]
             else:
-                q_tn_online = q_tn_target
+                q_tn_target, _ = model.apply(target_params,
+                                             batch["next_obs"], ())
+                if algo_cfg.double_q:
+                    q_tn_online, _ = model.apply(params,
+                                                 batch["next_obs"], ())
+                    q_tn_online = jax.lax.stop_gradient(q_tn_online)
+                else:
+                    q_tn_online = q_tn_target
             rew, disc = returns.nstep_return(
                 batch["rewards"],
                 batch["boundary"], algo_cfg.gamma)

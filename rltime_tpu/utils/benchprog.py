@@ -31,10 +31,15 @@ S = 32          # chunks (supersteps) per dispatch (r3 on-chip sweep:
 K = 4           # learner updates per chunk
 
 
-def build(warm_chunks: int = 8, seed: int = 0):
+def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
+          k: int = K, **algo_overrides):
     """Construct the bench program. Returns a namespace with:
     superstep (jitted), tstate, rstate, stacked(base)->device chunks,
-    and the static shape constants."""
+    and the static shape constants.
+
+    `batch`/`k`/`algo_overrides` parameterize MFU experiments
+    (tools/sweep_mfu.py): transitions consumed per chunk stays
+    batch*k, so tx/s numbers are comparable at fixed sample ratio."""
     import jax
     import jax.numpy as jnp
 
@@ -48,9 +53,10 @@ def build(warm_chunks: int = 8, seed: int = 0):
     rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=N_STEP,
                         chunk_len=L, lookback=F - 1, prioritized=True)
     mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
-                       head="dueling", compute_dtype="bfloat16")
-    acfg = AlgoConfig(algo="dqn", batch_size=BATCH, n_step=N_STEP,
-                      double_q=True, lr=1e-4, target_update_freq=500)
+                      head="dueling", compute_dtype="bfloat16")
+    acfg = AlgoConfig(algo="dqn", batch_size=batch, n_step=N_STEP,
+                      double_q=True, lr=1e-4, target_update_freq=500,
+                      **algo_overrides)
     fields = {"obs": ((84, 84), jnp.uint8),
               "action": ((), jnp.int32),
               "reward": ((), jnp.float32),
@@ -75,7 +81,7 @@ def build(warm_chunks: int = 8, seed: int = 0):
     ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
     update = make_update_step(mcfg, acfg, rcfg, F, False)
-    insert_update = make_insert_and_update_step(rcfg, update, K)
+    insert_update = make_insert_and_update_step(rcfg, update, k)
 
     def superstep(tstate, rstate, beta, chunks):
         def body(carry, ck):
@@ -96,5 +102,5 @@ def build(warm_chunks: int = 8, seed: int = 0):
     return types.SimpleNamespace(
         superstep=jitted, tstate=tstate, rstate=rstate,
         stacked=stacked, chunk=chunk, E=E, T=T, L=L, F=F,
-        n_step=N_STEP, batch=BATCH, S=S, K=K,
+        n_step=N_STEP, batch=batch, S=S, K=k,
         rcfg=rcfg, mcfg=mcfg, acfg=acfg)

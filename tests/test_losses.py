@@ -97,3 +97,46 @@ def test_sequence_priority_mix():
     mask = jnp.array([[1.0, 1.0, 1.0, 0.0]])
     p = losses.sequence_priority(td, mask, eta=0.75)
     assert float(p[0]) == pytest.approx(0.75 * 3.0 + 0.25 * 2.0)
+
+
+def test_batched_next_forward_matches_unbatched():
+    """algo.batched_next_forward (MFU lever: the two gradient-free
+    next-obs forwards as ONE stacked-params vmap apply) must produce
+    the same update as the two-apply path."""
+    import jax
+    from rltime_tpu.history.replay import (
+        ReplayConfig, replay_init, replay_insert)
+    from rltime_tpu.models.policy import ModelConfig
+    from rltime_tpu.training.learner import (
+        AlgoConfig, make_train_state, make_update_step)
+
+    rcfg = ReplayConfig(num_envs=4, steps_per_env=64, horizon=2,
+                        chunk_len=8, prioritized=True)
+    mcfg = ModelConfig(num_actions=3, torso="mlp", mlp_hidden=(16,),
+                       head="dueling", dueling_hidden=8)
+    rng = np.random.default_rng(0)
+    fields = {"obs": ((5,), jnp.float32), "action": ((), jnp.int32),
+              "reward": ((), jnp.float32),
+              "terminated": ((), jnp.bool_), "done": ((), jnp.bool_)}
+    rstate = replay_init(rcfg, fields)
+    for _ in range(4):
+        rstate = replay_insert(rcfg, rstate, dict(
+            obs=rng.normal(size=(4, 8, 5)).astype(np.float32),
+            action=rng.integers(0, 3, (4, 8)).astype(np.int32),
+            reward=rng.normal(size=(4, 8)).astype(np.float32),
+            terminated=(rng.random((4, 8)) < 0.05),
+            done=(rng.random((4, 8)) < 0.05)))
+    outs = []
+    for flag in (False, True):
+        acfg = AlgoConfig(algo="dqn", batch_size=8, n_step=2,
+                          double_q=True, lr=1e-3,
+                          batched_next_forward=flag)
+        ts = make_train_state(mcfg, acfg, jax.random.key(0),
+                              jnp.zeros((1, 5)))
+        upd = jax.jit(make_update_step(mcfg, acfg, rcfg, 1, True))
+        nt, _, m = upd(ts, rstate, jnp.float32(0.4))
+        outs.append((float(m["loss"]),
+                     jax.tree.leaves(jax.device_get(nt.params))))
+    assert outs[0][0] == pytest.approx(outs[1][0], abs=1e-6)
+    for a, b in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
