@@ -77,9 +77,11 @@ class AlgoConfig:
     seq_len: int = 80
     eta: float = 0.9            # sequence priority max/mean mix
     value_rescale: bool = True
-    # lambda-return targets for the sequence path (SURVEY.md §0 item 3
-    # "n-step (and lambda-style) return computation"): Peng's Q(lambda)
-    # over the training window instead of per-step n-step targets.
+    # lambda-return targets (SURVEY.md §0 item 3 "n-step (and
+    # lambda-style) return computation"): Peng's Q(lambda). On r2d2,
+    # over the training window instead of per-step n-step targets; on
+    # the FF dqn path, over the n-step window with per-step double-Q
+    # bootstraps (costs n target forwards instead of 1).
     use_lambda: bool = False
     lambda_: float = 0.7
     # debug: return sampled leaves + per-sample TD in metrics (the
@@ -137,9 +139,25 @@ def build_net_input(frames: jnp.ndarray, flatten: bool) -> jnp.ndarray:
 
 def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
                   env, col, frame_stack: int, n_step: int,
-                  flatten: bool, recurrent_fields: bool = False):
-    """Gather everything one FF update needs from the ring storage."""
-    if frame_stack > 1:
+                  flatten: bool, lambda_mode: bool = False):
+    """Gather everything one FF update needs from the ring storage.
+
+    `lambda_mode` (algo.use_lambda on the FF path, SURVEY.md §0 item 3
+    "and lambda-style"): instead of ONE bootstrap stack at col+n, the
+    per-step bootstrap stacks at col+1..col+n are gathered (flattened
+    to (B*n, ...) for one batched forward), and exactness masking uses
+    the per-step suffix rule (a sample is biased iff the segment
+    containing step 0 ends in a truncation inside the window)."""
+    if lambda_mode:
+        B = env.shape[0]
+        offs = jnp.arange(1, n_step + 1, dtype=jnp.int32)
+        envs_flat = jnp.repeat(env, n_step)
+        cols_flat = (col[:, None] + offs[None, :]).reshape(-1)
+        obs_tn = frame_stack_gather(replay_cfg, rstate, envs_flat,
+                                    cols_flat, frame_stack)
+        obs_t = frame_stack_gather(replay_cfg, rstate, env, col,
+                                   frame_stack)
+    elif frame_stack > 1:
         # one union-window gather for both stacks (F+n rows vs 2F;
         # bit-identical to the two-call path — replay.py docstring)
         obs_t, obs_tn = frame_stack_union_gather(
@@ -152,18 +170,24 @@ def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
     win = replay_gather_window(replay_cfg, rstate, env, col, n_step,
                                fields=["reward", "done", "terminated"])
     at = replay_gather_at(replay_cfg, rstate, env, col, fields=["action"])
-    return dict(
-        obs=build_net_input(obs_t, flatten),
-        next_obs=build_net_input(obs_tn, flatten),
-        action=at["action"],
-        rewards=win["reward"],
+    if lambda_mode:
+        trunc_ok = returns.truncation_suffix_mask(
+            win["terminated"], win["done"])[..., 0]
+    else:
         # `done` (terminated|truncated) bounds both the reward sum and
         # the bootstrap. Windows whose first boundary is a TRUNCATION
         # have no stored bootstrap obs (auto-reset discards it); they
         # are excluded exactly via `trunc_ok` — zero loss weight + zero
         # priority write-back (see ops/returns.truncation_mask).
+        trunc_ok = returns.truncation_mask(win["terminated"],
+                                           win["done"])
+    return dict(
+        obs=build_net_input(obs_t, flatten),
+        next_obs=build_net_input(obs_tn, flatten),
+        action=at["action"],
+        rewards=win["reward"],
         boundary=win["done"],
-        trunc_ok=returns.truncation_mask(win["terminated"], win["done"]),
+        trunc_ok=trunc_ok,
     )
 
 
@@ -180,6 +204,11 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     model = make_model(model_cfg)
     tx = make_optimizer(algo_cfg)
     B = algo_cfg.batch_size
+    if algo_cfg.use_lambda and algo_cfg.algo == "iqn":
+        raise ValueError(
+            "use_lambda is supported for algo='dqn' (FF Q-lambda) and "
+            "'r2d2' (sequence Q-lambda), not 'iqn' — matching the "
+            "reference's Q-learning-flavored lambda usage")
 
     def loss_fn(params, target_params, batch, taus_key):
         if algo_cfg.algo == "dqn":
@@ -201,11 +230,32 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                     q_tn_online = jax.lax.stop_gradient(q_tn_online)
                 else:
                     q_tn_online = q_tn_target
-            rew, disc = returns.nstep_return(
-                batch["rewards"],
-                batch["boundary"], algo_cfg.gamma)
-            target = losses.double_q_target(
-                q_tn_online, q_tn_target, rew, disc)
+            if algo_cfg.use_lambda:
+                # Peng's Q(lambda) target over the n-window (SURVEY.md
+                # §0 item 3 on the FF path): next_obs holds the B*n
+                # per-step bootstrap stacks (_gather_batch
+                # lambda_mode); per-step double-Q V estimates feed the
+                # backward lambda recursion, G[:, 0] is the target.
+                # n_step=1 (any lambda) and lambda=1.0 both reduce
+                # exactly to the n-step path (tests/test_losses.py).
+                n = algo_cfg.n_step
+                A = q_t.shape[-1]
+                q_on_n = q_tn_online.reshape(-1, n, A)
+                q_tg_n = q_tn_target.reshape(-1, n, A)
+                a_star = jnp.argmax(
+                    q_on_n if algo_cfg.double_q else q_tg_n, axis=-1)
+                v_next = jnp.take_along_axis(
+                    q_tg_n, a_star[..., None], axis=-1)[..., 0]
+                g = returns.lambda_returns(
+                    batch["rewards"], batch["boundary"], v_next,
+                    algo_cfg.gamma, algo_cfg.lambda_)
+                target = g[..., 0]
+            else:
+                rew, disc = returns.nstep_return(
+                    batch["rewards"],
+                    batch["boundary"], algo_cfg.gamma)
+                target = losses.double_q_target(
+                    q_tn_online, q_tn_target, rew, disc)
             target = jax.lax.stop_gradient(target)
             loss, td_abs = losses.q_learning_loss(
                 q_t, batch["action"], target, weights=batch["weight"],
@@ -244,7 +294,9 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         key, skey, tkey = jax.random.split(state.key, 3)
         idx = replay_sample_indices(replay_cfg, rstate, skey, B, beta)
         batch = _gather_batch(replay_cfg, rstate, idx["env"], idx["col"],
-                              frame_stack, algo_cfg.n_step, flatten)
+                              frame_stack, algo_cfg.n_step, flatten,
+                              lambda_mode=(algo_cfg.use_lambda
+                                           and algo_cfg.algo == "dqn"))
         trunc_ok = batch.pop("trunc_ok")
         if not algo_cfg.exact_truncation:
             trunc_ok = jnp.ones_like(trunc_ok)

@@ -25,10 +25,15 @@ import numpy as np
 
 # Canonical bench shapes (BASELINE.json config #2 scaled to one chip).
 E, T, L, F, N_STEP = 64, 1024, 32, 4, 3
-BATCH = 256
+# r4 MFU sweep (tools/sweep_mfu.py, all variants in ONE process):
+# at fixed sample ratio (batch*K = 1024 transitions/chunk) batch 1024
+# x K=1 with batched_next_forward beat the r3 shape (256 x 4, off)
+# 424.7k vs 345.7k tx/s (+22.9%); batched_next_forward won at every
+# batch (256: +3.7%, 512: +7.0%, 1024: +7.2%).
+BATCH = 1024
 S = 32          # chunks (supersteps) per dispatch (r3 on-chip sweep:
                 # 280k tx/s vs 267k @16, 251k @8 — tools/sweep_superstep)
-K = 4           # learner updates per chunk
+K = 1           # learner updates per chunk
 
 
 def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
@@ -54,6 +59,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
                         chunk_len=L, lookback=F - 1, prioritized=True)
     mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
                       head="dueling", compute_dtype="bfloat16")
+    algo_overrides.setdefault("batched_next_forward", True)
     acfg = AlgoConfig(algo="dqn", batch_size=batch, n_step=N_STEP,
                       double_q=True, lr=1e-4, target_update_freq=500,
                       **algo_overrides)

@@ -140,3 +140,64 @@ def test_batched_next_forward_matches_unbatched():
     assert outs[0][0] == pytest.approx(outs[1][0], abs=1e-6)
     for a, b in zip(outs[0][1], outs[1][1]):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _ff_lambda_setup(n_step, use_lambda, lambda_, seed=0):
+    import jax
+    from rltime_tpu.history.replay import (
+        ReplayConfig, replay_init, replay_insert)
+    from rltime_tpu.models.policy import ModelConfig
+    from rltime_tpu.training.learner import (
+        AlgoConfig, make_train_state, make_update_step)
+    rcfg = ReplayConfig(num_envs=4, steps_per_env=64, horizon=n_step,
+                        chunk_len=8, prioritized=True)
+    mcfg = ModelConfig(num_actions=3, torso="mlp", mlp_hidden=(16,),
+                       head="linear")
+    rng = np.random.default_rng(seed)
+    fields = {"obs": ((5,), jnp.float32), "action": ((), jnp.int32),
+              "reward": ((), jnp.float32),
+              "terminated": ((), jnp.bool_), "done": ((), jnp.bool_)}
+    rstate = replay_init(rcfg, fields)
+    for _ in range(5):
+        term = rng.random((4, 8)) < 0.15
+        done = term | (rng.random((4, 8)) < 0.05)   # some truncations
+        rstate = replay_insert(rcfg, rstate, dict(
+            obs=rng.normal(size=(4, 8, 5)).astype(np.float32),
+            action=rng.integers(0, 3, (4, 8)).astype(np.int32),
+            reward=rng.normal(size=(4, 8)).astype(np.float32),
+            terminated=term, done=done))
+    acfg = AlgoConfig(algo="dqn", batch_size=8, n_step=n_step,
+                      double_q=True, lr=1e-3, use_lambda=use_lambda,
+                      lambda_=lambda_)
+    ts = make_train_state(mcfg, acfg, jax.random.key(0),
+                          jnp.zeros((1, 5)))
+    upd = jax.jit(make_update_step(mcfg, acfg, rcfg, 1, True))
+    nt, nr, m = upd(ts, rstate, jnp.float32(0.4))
+    return (float(m["loss"]),
+            jax.tree.leaves(jax.device_get(nt.params)),
+            np.asarray(nr.tree))
+
+
+@pytest.mark.parametrize("n_step,lam", [(1, 0.7), (3, 1.0)])
+def test_ff_lambda_reduces_to_nstep(n_step, lam):
+    """FF Q(lambda) (SURVEY.md §0 item 3 on the feed-forward path)
+    must reduce EXACTLY to the n-step path in its two degenerate
+    corners: n=1 (any lambda — the recursion closes immediately on
+    V_1) and lambda=1.0 (the recursion telescopes to the full n-step
+    return bootstrapping V_n)."""
+    loss_a, params_a, tree_a = _ff_lambda_setup(n_step, False, lam)
+    loss_b, params_b, tree_b = _ff_lambda_setup(n_step, True, lam)
+    assert loss_a == pytest.approx(loss_b, abs=1e-6)
+    for x, y in zip(params_a, params_b):
+        np.testing.assert_allclose(x, y, atol=1e-6)
+    np.testing.assert_allclose(tree_a, tree_b, atol=1e-5)
+
+
+def test_ff_lambda_intermediate_differs_and_learns_shape():
+    """0 < lambda < 1 with n > 1 must produce a DIFFERENT (but finite)
+    update than pure n-step — the mode is not a no-op."""
+    loss_a, params_a, _ = _ff_lambda_setup(3, False, 0.5, seed=2)
+    loss_b, params_b, _ = _ff_lambda_setup(3, True, 0.5, seed=2)
+    assert np.isfinite(loss_b)
+    assert any(not np.allclose(x, y)
+               for x, y in zip(params_a, params_b))
