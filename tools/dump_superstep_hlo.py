@@ -25,7 +25,7 @@ def main():
 
     from rltime_tpu.utils import benchprog
 
-    p = benchprog.build(warm_chunks=1)
+    p = benchprog.build()
     beta = jnp.float32(0.4)
     txt = p.superstep.lower(p.tstate, p.rstate, beta,
                             p.stacked(1)).compile().as_text()
