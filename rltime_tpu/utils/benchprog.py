@@ -25,11 +25,15 @@ import numpy as np
 
 # Canonical bench shapes (BASELINE.json config #2 scaled to one chip).
 E, T, L, F, N_STEP = 64, 1024, 32, 4, 3
-# r4 MFU sweep (tools/sweep_mfu.py, all variants in ONE process):
-# at fixed sample ratio (batch*K = 1024 transitions/chunk) batch 1024
-# x K=1 with batched_next_forward beat the r3 shape (256 x 4, off)
-# 424.7k vs 345.7k tx/s (+22.9%); batched_next_forward won at every
-# batch (256: +3.7%, 512: +7.0%, 1024: +7.2%).
+# r4 MFU sweep (tools/sweep_mfu.py, all variants in ONE process,
+# post-shadowing-fix run): at fixed sample ratio (batch*K = 1024
+# transitions per chunk, the config-#2 recipe's 0.5 samples/insert)
+# batch 1024 x K=1 + batched_next_forward beat the r3 shape
+# (256 x 4, off) 362.4k vs 321.0k tx/s (+12.9%); batched_next_forward
+# won at every batch (+4.5% / +5.6% / +7.1%). An update-dominated
+# K=7 shape reaches 424.0k tx/s (insert+relayout amortized over 7
+# updates) — kept out of the headline because it triples the recipe's
+# sample ratio.
 BATCH = 1024
 S = 32          # chunks (supersteps) per dispatch (r3 on-chip sweep:
                 # 280k tx/s vs 267k @16, 251k @8 — tools/sweep_superstep)
@@ -71,8 +75,8 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     rstate = replay_init(rcfg, fields)
     rng = np.random.default_rng(seed)
 
-    def chunk(k):
-        del k  # draws advance `rng`; arg kept for call-site clarity
+    def chunk(i):
+        del i  # draws advance `rng`; arg kept for call-site clarity
         return dict(
             obs=rng.integers(0, 255, size=(E, L, 84, 84),
                              dtype=np.uint8),
@@ -81,8 +85,11 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
             terminated=(rng.random((E, L)) < 0.02),
             done=(rng.random((E, L)) < 0.02))
 
-    for k in range(warm_chunks):
-        rstate = replay_insert(rcfg, rstate, chunk(k))
+    # NB: loop variable must NOT be named `k` — it would shadow the
+    # `k` (updates per chunk) parameter (caught round 4: the warmup
+    # loop left k=7 and every "K" variant silently ran 7 updates).
+    for w in range(warm_chunks):
+        rstate = replay_insert(rcfg, rstate, chunk(w))
 
     ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)

@@ -77,7 +77,11 @@ def main():
                       0.5)
     variants = [(256, 4, False), (256, 4, True),
                 (512, 2, False), (512, 2, True),
-                (1024, 1, False), (1024, 1, True)]
+                (1024, 1, False), (1024, 1, True),
+                # K=7 leg reconciles with the round-4 shadowing-bug
+                # measurements (which silently ran K=7 at every
+                # requested K — benchprog.build history)
+                (1024, 7, True)]
     for b, k, bn in variants:
         r = run_variant(b, k, bn)
         print(json.dumps(r), flush=True)
