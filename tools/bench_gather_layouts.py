@@ -69,6 +69,14 @@ def main():
         f = lambda x: x.astype(jnp.bfloat16) / 255.0  # noqa
         return f(rows_t), f(rows_tn)
 
+    # pin-hypothesis variant: same union gather but with the ring in
+    # the production row-major PINNED layout (history/replay pins it
+    # for insert-in-place donation; the in-program gather is ~8x
+    # slower than this tool's default-layout one — is the pin why?)
+    from rltime_tpu.history.replay import _pin_rowmajor
+    rstate_pinned = rstate.replace(
+        storage=jax.jit(_pin_rowmajor)(rstate.storage))
+
     def timeit(fn, *args, reps=30):
         o = fn(*args)
         jax.block_until_ready(o)
@@ -79,13 +87,17 @@ def main():
         return (time.perf_counter() - t0) / reps * 1e3
 
     ms_u = timeit(union, rstate, env, col)
+    ms_up = timeit(union, rstate_pinned, env, col)
     ms_s = timeit(stacked, stacked_ring, env, col)
     print(json.dumps({
         "union_ms_per_gather": round(ms_u, 3),
+        "union_pinned_ms_per_gather": round(ms_up, 3),
         "stacked_ms_per_gather": round(ms_s, 3),
-        "speedup": round(ms_u / ms_s, 2),
+        "stacked_vs_union": round(ms_u / ms_s, 2),
+        "pin_penalty": round(ms_up / ms_u, 2),
         "note": "B=1024, bench ring shapes; stacked trades 4x obs "
-                "HBM (462MB -> 1.8GB at Atari scale)"}))
+                "HBM (462MB -> 1.8GB at Atari scale); pinned = "
+                "production row-major ring layout"}))
 
 
 if __name__ == "__main__":
