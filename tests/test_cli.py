@@ -65,3 +65,32 @@ def test_train_distributed_dispatches_fused(tmp_path):
     steps = os.listdir(aux)
     assert steps and os.path.isdir(os.path.join(aux, steps[0],
                                                 "proc0"))
+
+
+def test_native_atari_engine_full_loop(tmp_path):
+    """End-to-end: C++ Atari-shaped lane pool -> host Actor (frame
+    stack 4) -> uint8 replay ring -> CNN learner updates. The host
+    image pipeline over the native engine (SURVEY.md §2a), synthetic
+    lanes in-sandbox, identical machinery with real ALE."""
+    cfg = {
+        "seed": 0,
+        "env": {"type": "atari_native", "num_envs": 4,
+                "num_threads": 1},
+        "frame_stack": 4,
+        "model": {"torso": "nature_cnn", "cnn_channels": [4, 4, 4],
+                  "cnn_fc": 16, "head": "dueling",
+                  "dueling_hidden": 8},
+        "replay": {"steps_per_env": 64, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 4, "n_step": 3,
+                 "lr": 1e-3, "target_update_freq": 10},
+        "train": {"total_env_steps": 600, "warmup_env_steps": 200,
+                  "chunk_len": 8, "updates_per_chunk": 1,
+                  "log_interval": 10**9,
+                  "checkpoint_interval": 10**9},
+    }
+    t = Trainer(cfg, str(tmp_path / "na")).train()
+    assert t.updates_done > 0
+    assert t.replay_state.storage["obs"].dtype.name == "uint8"
+    assert int(np.asarray(t.replay_state.storage["obs"]).sum()) > 0
+    scores = t.env.pop_completed_scores()
+    assert isinstance(scores, list)
