@@ -120,10 +120,20 @@ def _bench_minatar_fused():
                  "target_update_freq": 500},
         "exploration": {"type": "epsilon_greedy", "eps_start": 1.0,
                         "eps_end": 0.05, "anneal_steps": 200_000},
+        # Chunk partitioning per the r4 same-process sweep (identical
+        # recipe ratio — 2 updates per env step, batch 256 — and
+        # identical steps+updates per dispatch in every variant):
+        # L=128/u=256/S=1 = 337k env-steps/s vs 231k @ L=32/S=4 vs
+        # 196k @ L=16/S=8 (the preset's conservative cadence); fewer
+        # chunk boundaries amortize the per-chunk insert + scan
+        # epilogue. L=256 is excluded by the ring-safety constraint
+        # (steps_per_env >= 2*(L+n)). Learning validated in-band at
+        # this cadence: Breakout 5M greedy eval 12.3 (band ~12-16,
+        # results/r4_breakout_L128).
         "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
-                  "chunk_len": 16, "updates_per_chunk": 32,
+                  "chunk_len": 128, "updates_per_chunk": 256,
                   "log_interval": 10**9,
-                  "supersteps_per_dispatch": 8},
+                  "supersteps_per_dispatch": 1},
     }
     t = FusedApexTrainer(cfg, tempfile.mkdtemp(),
                          mesh=make_mesh(jax.devices()[:1]))
