@@ -31,18 +31,56 @@ def library_path() -> str:
 def _ale_flags():
     """Compile flags for the REAL ALE lane when headers are present
     (SURVEY.md §2a: ale-py not in this image; when it is, its bundled
-    ale_interface.hpp + libale make the native lane a drop-in)."""
+    ale_interface.hpp + shared lib make the native lane a drop-in).
+
+    ale-py wheels ship the C++ core either as libale*.so or folded
+    into the Python extension (_ale_py*.so); link whichever shared
+    object the installed wheel actually contains (advisor r4: a bare
+    -lale was unverified against real wheels). Untestable in-sandbox
+    (no ale_py); CI syntax-checks the lane against
+    tests/fake_ale_include instead."""
+    import glob
     try:
         import ale_py
         inc = os.path.join(os.path.dirname(ale_py.__file__), "include")
         if os.path.exists(os.path.join(inc, "ale_interface.hpp")):
             lib_dir = os.path.dirname(ale_py.__file__)
+            sos = (glob.glob(os.path.join(lib_dir, "libale*.so*"))
+                   or glob.glob(os.path.join(lib_dir, "_ale_py*.so")))
+            if not sos:
+                return []
             return ["-DRLTIME_HAVE_ALE", f"-I{inc}",
-                    f"-L{lib_dir}", "-lale",
+                    f"-L{lib_dir}",
+                    f"-l:{os.path.basename(sos[0])}",
                     f"-Wl,-rpath,{lib_dir}"]
     except ImportError:
         pass
     return []
+
+
+def _resolve_rom(rom: str) -> str:
+    """Game name -> ROM file path for the real-ALE lane.
+
+    ALEInterface::loadROM expects a .bin path, not a game name
+    (advisor r4). Pass-through for existing paths; otherwise resolve
+    through ale_py.roms (new get_rom_path API, then the legacy
+    attribute style). Synthetic lanes ignore the string entirely."""
+    if os.path.exists(rom) or atari_backend() != "ale":
+        return rom
+    try:
+        from ale_py import roms
+        if hasattr(roms, "get_rom_path"):
+            p = roms.get_rom_path(rom)
+            if p:
+                return str(p)
+        name = "".join(w.capitalize() for w in rom.split("_"))
+        if hasattr(roms, name):
+            return str(getattr(roms, name))
+    except ImportError:
+        pass
+    raise FileNotFoundError(
+        f"cannot resolve Atari ROM {rom!r}: not a file and ale_py.roms"
+        " has no entry for it")
 
 
 def build_library(force: bool = False, tsan: bool = False) -> str:
@@ -196,7 +234,8 @@ class NativeAtariVecEnv(VecEnv):
             num_threads = max(1, min(os.cpu_count() or 1,
                                      num_envs // 8))
         self._h = lib.atari_create(
-            num_envs, seed, num_threads, rom.encode(), noop_max,
+            num_envs, seed, num_threads, _resolve_rom(rom).encode(),
+            noop_max,
             frameskip, int(episodic_life), int(fire_reset),
             max_episode_frames)
         self._lib = lib

@@ -252,10 +252,13 @@ struct AtariLane {
 
   void reset_episode(uint8_t* obs_out) {
     ale_.reset_game();
-    std::uniform_int_distribution<int> d(1, cfg.noop_max);
-    for (int k = d(rng); k > 0; --k) {
-      ale_.act(ale::PLAYER_A_NOOP);
-      if (ale_.game_over()) ale_.reset_game();
+    if (cfg.noop_max > 0) {  // noop_max=0 disables noop-starts; a
+      // (1, 0) uniform_int_distribution would be UB (advisor r4)
+      std::uniform_int_distribution<int> d(1, cfg.noop_max);
+      for (int k = d(rng); k > 0; --k) {
+        ale_.act(ale::PLAYER_A_NOOP);
+        if (ale_.game_over()) ale_.reset_game();
+      }
     }
     if (cfg.fire_reset && actions.size() >= 3) {
       ale_.act(actions[1]);

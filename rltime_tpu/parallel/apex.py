@@ -197,6 +197,14 @@ class ApexTrainer:
         return self.actor.env_steps * jax.process_count()
 
     def _beta(self) -> float:
+        # Annealed on the PRE-update step counter (the chunk just
+        # inserted is counted by actor.env_steps already) — same point
+        # Trainer samples it. The fused trainer instead anneals each
+        # scanned superstep's beta on its POST-chunk counter so
+        # S-deep scans stay bit-identical to S sequential dispatches
+        # (fused._beta_at call sites); the one-chunk-of-anneal offset
+        # between the paths is deliberate and numerically negligible
+        # (beta moves ~1e-5 per chunk on real budgets).
         a = self.algo_cfg
         frac = min(self.global_env_steps
                    / max(self.loop_cfg.total_env_steps, 1), 1.0)

@@ -615,8 +615,27 @@ class FusedApexTrainer:
         hs = restored["host_state"]
         self.env_steps = int(hs["env_steps"])
         self.updates_done = int(hs["updates"])
+        # Protected (interval/final) steps don't survive the process,
+        # so re-derive them: every existing checkpoint dir is protected
+        # from best-GC except the one best.json marks best_only
+        # (advisor r4: a post-resume new best must not reclaim a
+        # pre-crash interval checkpoint).
+        ckdir = os.path.join(self.result_dir, "checkpoints")
+        best_only = (int(best["step"])
+                     if best is not None and best.get("best_only")
+                     else None)
+        self._protected_steps = {
+            int(x) for x in os.listdir(ckdir)
+            if x.isdigit() and int(x) != best_only}
         # this process's own sidecar: local actor rows (+ replay)
         d = self._aux_dir(step)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"fused resume: checkpoint {step} has no sidecar dir "
+                f"{d} — it was written by an incompatible layout "
+                "(pre-round-4 format, or a different process count/"
+                "rank mapping). Delete the checkpoint or start "
+                "without train.resume.")
         leaves, treedef = jax.tree.flatten(self.actor_state)
         local = [np.load(os.path.join(d, f"actor_{i}.npy"))
                  for i in range(len(leaves))]

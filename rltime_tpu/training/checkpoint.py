@@ -134,6 +134,12 @@ def maybe_record_best(result_dir: str, best_score: float,
         shutil.rmtree(os.path.join(result_dir, "checkpoints",
                                    str(prev["step"])),
                       ignore_errors=True)
+        # the fused trainer writes matching per-process sidecars under
+        # checkpoints_aux/<step>/ — reclaim them too (advisor r4: an
+        # improving run otherwise accumulates orphaned sidecar dirs)
+        shutil.rmtree(os.path.join(result_dir, "checkpoints_aux",
+                                   str(prev["step"])),
+                      ignore_errors=True)
     return mean_return
 
 
