@@ -109,6 +109,11 @@ def make_act_step(cfg: ModelConfig, frame_stack: int,
             else frames
         if flatten_stack and frame_stack > 1:
             net_in = frames.reshape(E, -1)
+        if cfg.channels_last and net_in.ndim == 4:
+            # NHWC model contract: the rolling stack stays (E, F, H, W)
+            # (cheap append on axis 1); only this tiny per-step view
+            # is transposed.
+            net_in = jnp.moveaxis(net_in, 1, -1)
 
         key, tau_key, ekey, akey = jax.random.split(state.key, 4)
         taus = None

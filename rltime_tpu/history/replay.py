@@ -383,3 +383,39 @@ def frame_stack_union_gather(cfg: ReplayConfig, state: ReplayState,
     obs_t = rows[:, :F] * v_t
     obs_tn = rows[:, n:n + F] * v_tn
     return obs_t, obs_tn
+
+
+def frame_stack_union_gather_nhwc(cfg: ReplayConfig, state: ReplayState,
+                                  env: jnp.ndarray, col: jnp.ndarray,
+                                  num_frames: int, n_step: int,
+                                  obs_field: str = "obs",
+                                  done_field: str = "done"):
+    """Union gather emitted CHANNELS-LAST: (B, H, W, F) stacks.
+
+    Same math as frame_stack_union_gather (one union window, two
+    masked slices — bit-identical modulo the axis order), but the
+    frame axis lands MINOR-most: one gather per union slot, stacked on
+    the last axis, so the conv-ready NHWC tensor comes straight out of
+    the gathers and the whole-batch (B, W, H, Wd) -> NHWC relayout
+    copy the r4 profile charged at 12.5% of device time never exists.
+    Used by the learner when the model is configured channels_last.
+    Returns (obs_t, obs_tn), each (B, ..., num_frames).
+    """
+    F, n = num_frames, n_step
+    assert F > 1, "union gather only pays off for real frame stacks"
+    T = cfg.steps_per_env
+    W = F + n
+    ring = state.storage[obs_field]
+    slots = [ring[env, jnp.mod(col - (F - 1) + j, T)]   # (B, H, Wd)
+             for j in range(W)]
+    rows = jnp.stack(slots, axis=-1)                    # (B, H, Wd, W)
+    offs = jnp.arange(W - 1, dtype=jnp.int32)
+    dcols = jnp.mod(col[:, None] - (F - 1) + offs[None, :], T)
+    dones = state.storage[done_field][env[:, None], dcols]  # (B, W-1)
+    shape0 = (rows.shape[0],) + (1,) * (rows.ndim - 2) + (F,)
+    v_t = _stack_validity(dones[:, :F - 1], rows.dtype).reshape(shape0)
+    v_tn = _stack_validity(dones[:, n:n + F - 1],
+                           rows.dtype).reshape(shape0)
+    obs_t = rows[..., :F] * v_t
+    obs_tn = rows[..., n:n + F] * v_tn
+    return obs_t, obs_tn

@@ -42,6 +42,12 @@ class ModelConfig:
     num_tau_prime: int = 64             # training target taus
     num_tau_policy: int = 32            # acting taus (risk-neutral mean)
     compute_dtype: str = "float32"      # "float32" | "bfloat16"
+    # Nature-CNN perf options (see torso.NatureCNNTorso): NHWC obs
+    # contract (4D model input is (B, H, W, F); the learner emits its
+    # union gather channel-last, the actor transposes its tiny
+    # per-step stack) and the exact conv_0 space-to-depth rewrite.
+    channels_last: bool = False
+    space_to_depth: bool = False
 
     @property
     def dtype(self):
@@ -61,13 +67,20 @@ class QPolicy(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if ((c.channels_last or c.space_to_depth)
+                and c.torso != "nature_cnn"):
+            raise ValueError(
+                "channels_last/space_to_depth are Nature-CNN options "
+                f"(torso={c.torso!r})")
         if c.torso == "mlp":
             self.torso_mod = MLPTorso(hidden=c.mlp_hidden,
                                       compute_dtype=c.dtype)
         elif c.torso == "nature_cnn":
-            self.torso_mod = NatureCNNTorso(channels=c.cnn_channels,
-                                            fc=c.cnn_fc,
-                                            compute_dtype=c.dtype)
+            self.torso_mod = NatureCNNTorso(
+                channels=c.cnn_channels, fc=c.cnn_fc,
+                compute_dtype=c.dtype,
+                channels_last=c.channels_last,
+                space_to_depth=c.space_to_depth)
         elif c.torso == "minatar_cnn":
             self.torso_mod = MinAtarCNNTorso(channels=c.cnn_channels,
                                              fc=c.cnn_fc,

@@ -25,7 +25,8 @@ from flax import struct
 
 from rltime_tpu.history.replay import (
     ReplayConfig, ReplayState, frame_stack_gather,
-    frame_stack_union_gather, replay_gather_at, replay_gather_window,
+    frame_stack_union_gather, frame_stack_union_gather_nhwc,
+    replay_gather_at, replay_gather_window,
     replay_sample_indices, replay_update_priorities,
 )
 from rltime_tpu.models.policy import ModelConfig, make_model
@@ -69,6 +70,12 @@ class AlgoConfig:
     # kernel for the MXU. Flag for on-chip A/B (tools/sweep_mfu.py);
     # math is identical, reduction tiling may differ in last ulps.
     batched_next_forward: bool = False
+    # Force the PER obs gather into its own kernel (an
+    # optimization_barrier between gather and conv). Measurement knob
+    # for the r4-diagnosed gather-plane stall (the union gather runs
+    # at HBM roofline isolated, ~12x slower fused into the scanned
+    # update program); tools/sweep_gather_fix.py A/Bs it on chip.
+    gather_barrier: bool = False
     # IQN
     num_tau: int = 64
     num_tau_prime: int = 64
@@ -139,7 +146,9 @@ def build_net_input(frames: jnp.ndarray, flatten: bool) -> jnp.ndarray:
 
 def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
                   env, col, frame_stack: int, n_step: int,
-                  flatten: bool, lambda_mode: bool = False):
+                  flatten: bool, lambda_mode: bool = False,
+                  channels_last: bool = False,
+                  barrier: bool = False):
     """Gather everything one FF update needs from the ring storage.
 
     `lambda_mode` (algo.use_lambda on the FF path, SURVEY.md §0 item 3
@@ -157,16 +166,30 @@ def _gather_batch(replay_cfg: ReplayConfig, rstate: ReplayState,
                                     cols_flat, frame_stack)
         obs_t = frame_stack_gather(replay_cfg, rstate, env, col,
                                    frame_stack)
+        if channels_last:
+            obs_t = jnp.moveaxis(obs_t, 1, -1)
+            obs_tn = jnp.moveaxis(obs_tn, 1, -1)
     elif frame_stack > 1:
-        # one union-window gather for both stacks (F+n rows vs 2F;
-        # bit-identical to the two-call path — replay.py docstring)
-        obs_t, obs_tn = frame_stack_union_gather(
-            replay_cfg, rstate, env, col, frame_stack, n_step)
+        if channels_last:
+            # NHWC straight out of the gather — no whole-batch
+            # relayout between gather and conv (replay.py docstring)
+            obs_t, obs_tn = frame_stack_union_gather_nhwc(
+                replay_cfg, rstate, env, col, frame_stack, n_step)
+        else:
+            # one union-window gather for both stacks (F+n rows vs 2F;
+            # bit-identical to the two-call path — replay.py docstring)
+            obs_t, obs_tn = frame_stack_union_gather(
+                replay_cfg, rstate, env, col, frame_stack, n_step)
     else:
         obs_t = frame_stack_gather(replay_cfg, rstate, env, col,
                                    frame_stack)
         obs_tn = frame_stack_gather(replay_cfg, rstate, env,
                                     col + n_step, frame_stack)
+        if channels_last:
+            obs_t = jnp.moveaxis(obs_t, 1, -1)
+            obs_tn = jnp.moveaxis(obs_tn, 1, -1)
+    if barrier:
+        obs_t, obs_tn = jax.lax.optimization_barrier((obs_t, obs_tn))
     win = replay_gather_window(replay_cfg, rstate, env, col, n_step,
                                fields=["reward", "done", "terminated"])
     at = replay_gather_at(replay_cfg, rstate, env, col, fields=["action"])
@@ -296,7 +319,9 @@ def make_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         batch = _gather_batch(replay_cfg, rstate, idx["env"], idx["col"],
                               frame_stack, algo_cfg.n_step, flatten,
                               lambda_mode=(algo_cfg.use_lambda
-                                           and algo_cfg.algo == "dqn"))
+                                           and algo_cfg.algo == "dqn"),
+                              channels_last=model_cfg.channels_last,
+                              barrier=algo_cfg.gather_barrier)
         trunc_ok = batch.pop("trunc_ok")
         if not algo_cfg.exact_truncation:
             trunc_ok = jnp.ones_like(trunc_ok)

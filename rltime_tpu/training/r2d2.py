@@ -56,6 +56,10 @@ def make_r2d2_update_step(model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                           flatten: bool, axis_name=None):
     """Build the jitted R2D2 update (same signature as the FF one)."""
     assert model_cfg.recurrent, "r2d2 requires lstm_size > 0"
+    if model_cfg.channels_last:
+        raise ValueError(
+            "channels_last is an FF-learner option (the r2d2 sequence "
+            "unroll feeds (B, F, H, W) per step)")
     model = make_model(model_cfg)
     tx = make_optimizer(algo_cfg)
     B = algo_cfg.batch_size

@@ -41,14 +41,20 @@ K = 1           # learner updates per chunk
 
 
 def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
-          k: int = K, **algo_overrides):
+          k: int = K, channels_last: bool = False,
+          space_to_depth: bool = False, unroll: int = 1,
+          **algo_overrides):
     """Construct the bench program. Returns a namespace with:
     superstep (jitted), tstate, rstate, stacked(base)->device chunks,
     and the static shape constants.
 
     `batch`/`k`/`algo_overrides` parameterize MFU experiments
     (tools/sweep_mfu.py): transitions consumed per chunk stays
-    batch*k, so tx/s numbers are comparable at fixed sample ratio."""
+    batch*k, so tx/s numbers are comparable at fixed sample ratio.
+    `channels_last`/`space_to_depth` (model) plus
+    algo.gather_barrier and `unroll` (chunk-scan unroll for XLA
+    software pipelining) are the r5 gather-plane candidates
+    (tools/sweep_gather_fix.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +68,9 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=N_STEP,
                         chunk_len=L, lookback=F - 1, prioritized=True)
     mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
-                      head="dueling", compute_dtype="bfloat16")
+                      head="dueling", compute_dtype="bfloat16",
+                      channels_last=channels_last,
+                      space_to_depth=space_to_depth)
     algo_overrides.setdefault("batched_next_forward", True)
     acfg = AlgoConfig(algo="dqn", batch_size=batch, n_step=N_STEP,
                       double_q=True, lr=1e-4, target_update_freq=500,
@@ -91,7 +99,8 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     for w in range(warm_chunks):
         rstate = replay_insert(rcfg, rstate, chunk(w))
 
-    ex_obs = jnp.zeros((1, F, 84, 84), jnp.uint8)
+    ex_obs = (jnp.zeros((1, 84, 84, F), jnp.uint8) if channels_last
+              else jnp.zeros((1, F, 84, 84), jnp.uint8))
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
     update = make_update_step(mcfg, acfg, rcfg, F, False)
     insert_update = make_insert_and_update_step(rcfg, update, k)
@@ -102,7 +111,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
             ts, rs, m = insert_update(ts, rs, ck, beta)
             return (ts, rs), m
         (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
-                                            chunks)
+                                            chunks, unroll=unroll)
         return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
 
     jitted = jax.jit(superstep, donate_argnums=(0, 1))
