@@ -229,7 +229,12 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             lt = t.replace(key=jax.random.fold_in(t.key, shard))
             nt, nr, m = local_update(lt, r, beta)
             nt = nt.replace(key=jax.random.split(t.key, 3)[0])
-            m = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), m)
+            # scalar metrics pmean; debug_* leaves (the transcript
+            # harness's per-sample leaf/TD vectors) stay PER-SHARD and
+            # concatenate through out_specs P('data') instead
+            m = {k: (v if k.startswith("debug_")
+                     else jax.lax.pmean(v, "data"))
+                 for k, v in m.items()}
             max_p = jax.lax.pmax(nr.max_priority, "data")
             return (nt, nr.tree, nr.t, max_p), m
         carry0 = (tstate, rstate.tree, rstate.t, rstate.max_priority)
@@ -237,6 +242,10 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             upd_body, carry0, None, length=num_updates)
         rstate = rstate.replace(tree=tree, t=cur, max_priority=max_p)
         metrics = jax.tree.map(lambda m: m[-1], ms)
+        if algo_cfg.debug_outputs:
+            # the chunk's actions ride out per-shard for the
+            # transcript's actions digest (Trainer records the same)
+            metrics["debug_chunk_action"] = chunk["action"]
         return tstate, astate, rstate, metrics
 
     def _multi(tstate, astate, rstate, eps, betas):
@@ -263,6 +272,20 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         metric_specs = jax.tree.map(
             lambda _: P(), dict(loss=0, q=0, td_abs=0, grad_norm=0,
                                 mean_weight=0))
+        if algo_cfg.debug_outputs:
+            if supersteps != 1:
+                raise ValueError(
+                    "debug_outputs/record_transcript on the fused "
+                    "path needs supersteps_per_dispatch=1 (the "
+                    "transcript records every chunk; an S-scan only "
+                    "surfaces the last)")
+            # per-shard vectors, concatenated over 'data': at d=1
+            # these equal the Trainer path's debug leaves bit-for-bit
+            metric_specs.update(
+                debug_leaf=P("data"), debug_td=P("data"),
+                debug_chunk_action=P("data"))
+            if algo_cfg.algo != "r2d2":   # r2d2 emits leaf+td only
+                metric_specs["debug_action"] = P("data")
         f = shard_map(inner, mesh=mesh,
                       in_specs=(ts_specs, aspecs, rspecs,
                                 eps_spec, P()),
@@ -364,16 +387,21 @@ class FusedApexTrainer:
         self.model_cfg = _mk_model_cfg(
             config.get("model", {}), spec.num_actions)
         self.algo_cfg = AlgoConfig(**config.get("algo", {}))
-        if self.algo_cfg.debug_outputs:
-            # the superstep's shard_map out_specs cover the scalar
-            # metric set only, and per-shard debug leaves would be
-            # pmean'd into nonsense — the transcript harness runs on
-            # the plain Trainer path
-            raise ValueError(
-                "algo.debug_outputs is not supported with "
-                'train.trainer="fused"; use the default trainer for '
-                "exact-numerics transcripts")
         self.loop_cfg = TrainLoopConfig(**config.get("train", {}))
+        self.transcript = None
+        if self.loop_cfg.record_transcript:
+            import dataclasses as _dc
+            from rltime_tpu.utils.transcript import Transcript
+            self.algo_cfg = _dc.replace(self.algo_cfg,
+                                        debug_outputs=True)
+            self.transcript = Transcript()
+        if self.algo_cfg.debug_outputs \
+                and self.loop_cfg.warmup_env_steps > 0:
+            raise ValueError(
+                "fused transcripts record post-warmup chunks only — "
+                "set train.warmup_env_steps=0 for the exact-numerics "
+                "harness (Trainer records warmup chunks too, so the "
+                "transcripts would differ)")
         if self.algo_cfg.algo == "r2d2":
             from rltime_tpu.training.r2d2 import r2d2_horizon
             horizon = r2d2_horizon(self.algo_cfg)
@@ -507,6 +535,10 @@ class FusedApexTrainer:
                         self.replay_state, eps, beta_arg)
         self.env_steps += S * per_chunk
         self.updates_done += S * self.loop_cfg.updates_per_chunk
+        if self.transcript is not None:
+            m = dict(m)
+            actions = m.pop("debug_chunk_action")
+            self.transcript.record_chunk(self.env_steps, actions, m)
         return m
 
     def episode_stats(self):
@@ -537,6 +569,27 @@ class FusedApexTrainer:
                 rets.append(float(ring[(cur - fresh + i) % STATS_RING]))
             self._stats_popped[g] = cur
         return rets
+
+    def global_episode_stats(self):
+        """Fresh completed returns pooled over ALL processes.
+
+        Single-process: identical to episode_stats(). Multi-process:
+        each process pops its own shards, then a fixed-size NaN-padded
+        process_allgather pools them — every process gets the SAME
+        multiset, so mean/median and the best-checkpoint decision are
+        process-identical (VERDICT r4 Next #5). Fresh returns per
+        shard are bounded by STATS_RING, so the gather payload is
+        static ((nproc, local_shards*STATS_RING) f32)."""
+        rets = self.episode_stats()
+        if jax.process_count() == 1:
+            return rets
+        from jax.experimental import multihost_utils
+        cap = STATS_RING * jax.local_device_count()
+        buf = np.full((cap,), np.nan, np.float32)
+        buf[:len(rets)] = np.asarray(rets, np.float32)[:cap]
+        pooled = np.asarray(multihost_utils.process_allgather(buf))
+        return [float(v) for v in pooled.reshape(-1)
+                if not np.isnan(v)]
 
     # ----- checkpointing (SURVEY.md §5.4 on the fused path) -----
     def _host_state(self):
@@ -671,48 +724,52 @@ class FusedApexTrainer:
         next_log = self.env_steps + cfg.log_interval
         next_ckpt = self.env_steps + cfg.checkpoint_interval
         t_last, s_last = _time.time(), self.env_steps
-        # Best-checkpoint tracking is single-process only: the best
-        # decision depends on per-process episode stats, and the
-        # sidecar save is collective — a lead-only trigger would leave
-        # the other processes' sidecars missing. Multi-process runs
-        # keep interval checkpoints (the reference tracks no best
-        # either); eval --best is a single-host workflow.
-        track_best = cfg.track_best and jax.process_count() == 1
+        # Best-checkpoint tracking is GLOBAL: every process pools the
+        # same episode stats (global_episode_stats allgather) at the
+        # same deterministic superstep, reaches the identical decision,
+        # and joins the collective sidecar save; best.json + GC are
+        # lead-only. (Closes the r4 single-process-only gap.)
+        track_best = cfg.track_best
         while self.env_steps < cfg.total_env_steps:
             m = self.superstep()
-            if self.logger is not None and self.env_steps >= next_log:
+            if self.env_steps >= next_log:
                 next_log = self.env_steps + cfg.log_interval
-                rets = self.episode_stats()
-                now = _time.time()
-                scalars = dict(
-                    env_steps=self.env_steps,
-                    updates=self.updates_done,
-                    steps_per_s=(self.env_steps - s_last)
-                    / max(now - t_last, 1e-9))
-                t_last, s_last = now, self.env_steps
-                if rets:
-                    scalars["episode_return_mean"] = float(
-                        np.mean(rets))
-                    scalars["episode_return_median"] = float(
-                        np.median(rets))
-                    if track_best:
-                        from rltime_tpu.training import (
-                            checkpoint as ckpt_lib)
-                        self._best_score = ckpt_lib.maybe_record_best(
-                            self.result_dir, self._best_score,
-                            scalars["episode_return_mean"], len(rets),
-                            cfg.best_min_episodes, self.env_steps,
-                            lambda: self.save_checkpoint(
-                                protect=False),
-                            self._protected_steps)
-                for k, v in m.items():
-                    scalars[f"train/{k}"] = float(v)
-                self.logger.log_scalars(self.env_steps, scalars)
-                self.logger.summary(self.env_steps, scalars)
+                rets = self.global_episode_stats()
+                if rets and track_best:
+                    from rltime_tpu.training import (
+                        checkpoint as ckpt_lib)
+                    self._best_score = ckpt_lib.maybe_record_best(
+                        self.result_dir, self._best_score,
+                        float(np.mean(rets)), len(rets),
+                        cfg.best_min_episodes, self.env_steps,
+                        lambda: self.save_checkpoint(protect=False),
+                        self._protected_steps, lead=self.is_lead)
+                if self.logger is not None:
+                    now = _time.time()
+                    scalars = dict(
+                        env_steps=self.env_steps,
+                        updates=self.updates_done,
+                        steps_per_s=(self.env_steps - s_last)
+                        / max(now - t_last, 1e-9))
+                    t_last, s_last = now, self.env_steps
+                    if rets:
+                        scalars["episode_return_mean"] = float(
+                            np.mean(rets))
+                        scalars["episode_return_median"] = float(
+                            np.median(rets))
+                    for k, v in m.items():
+                        if not k.startswith("debug_"):
+                            scalars[f"train/{k}"] = float(v)
+                    self.logger.log_scalars(self.env_steps, scalars)
+                    self.logger.summary(self.env_steps, scalars)
             if self.env_steps >= next_ckpt:
                 next_ckpt = self.env_steps + cfg.checkpoint_interval
                 self.save_checkpoint()
         self.save_checkpoint()
+        if self.transcript is not None and self.is_lead:
+            import os
+            self.transcript.dump(os.path.join(self.result_dir,
+                                              "transcript.jsonl"))
         if self.logger is not None:
             self.logger.close()
         return self

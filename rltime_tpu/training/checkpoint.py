@@ -108,7 +108,7 @@ def record_best(result_dir: str, step: int, score: float,
 def maybe_record_best(result_dir: str, best_score: float,
                       mean_return: float, n_episodes: int,
                       min_episodes: int, env_steps: int, save_fn,
-                      protected_steps=()) -> float:
+                      protected_steps=(), lead: bool = True) -> float:
     """Best-checkpoint rule shared by Trainer and FusedApexTrainer.
 
     Snapshot whenever the log-interval episode mean (over at least
@@ -119,11 +119,18 @@ def maybe_record_best(result_dir: str, best_score: float,
     tracking (`best_only` in best.json) and is not in
     `protected_steps` (interval/final checkpoint steps) — so a
     steadily improving long run keeps exactly ONE best snapshot
-    instead of accumulating dozens."""
+    instead of accumulating dozens.
+
+    Multi-process: every process must call this with IDENTICAL
+    (globally pooled) stats — the decision and `save_fn` (collective
+    sidecar save) run everywhere, while best.json + GC are lead-only
+    (`lead=False` skips them)."""
     if n_episodes < min_episodes or mean_return <= best_score:
         return best_score
     prev = best_step(result_dir)
     save_fn()
+    if not lead:
+        return mean_return
     protected = set(int(s) for s in protected_steps)
     record_best(result_dir, env_steps, mean_return,
                 best_only=env_steps not in protected)

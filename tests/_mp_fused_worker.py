@@ -29,7 +29,11 @@ def fused_cfg(resume=False):
                         "eps_end": 0.1, "anneal_steps": 2000},
         "train": {"total_env_steps": 2048, "warmup_env_steps": 128,
                   "chunk_len": 8, "updates_per_chunk": 2,
-                  "log_interval": 10**9,
+                  # log interval small enough to exercise the GLOBAL
+                  # best-checkpoint path (pooled stats + collective
+                  # save) several times during the run
+                  "log_interval": 512, "track_best": True,
+                  "best_min_episodes": 1,
                   "checkpoint_interval": 10**9,
                   "checkpoint_replay": True, "trainer": "fused",
                   "supersteps_per_dispatch": 2, "resume": resume},
@@ -81,6 +85,9 @@ def main():
         resumed.append(checksum_of(r.train_state))
         multihost_utils.sync_global_devices("fused_resume_leg_done")
 
+    best_path = os.path.join(result_dir, "checkpoints", "best.json")
+    best = (json.load(open(best_path))
+            if os.path.exists(best_path) else None)
     with open(out_path, "w") as f:
         json.dump({
             "process_id": pid,
@@ -92,6 +99,7 @@ def main():
             "num_episodes": len(rets),
             "resumed_checksum_a": resumed[0],
             "resumed_checksum_b": resumed[1],
+            "best": best,
         }, f)
     jax.distributed.shutdown()
 

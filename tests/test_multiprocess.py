@@ -118,6 +118,41 @@ def test_fused_two_process_end_to_end(tmp_path, nproc, n_dev):
     # program.
     assert len({r["param_checksum"] for r in results}) == 1
     assert results[0]["param_checksum"] != 0.0
+
+
+@pytest.mark.multiprocess
+def test_fused_global_best_checkpoint(tmp_path):
+    """Global best-checkpoint on the fused path (VERDICT r4 Next #5):
+    a 2-process x 1-device gloo run must record the SAME best.json
+    (step + score) as a single-process run of the identical config on
+    a 2-device mesh — proving the pooled-stats decision is
+    process-count-invariant, every process joined the collective
+    sidecar save, and the sidecars survive for eval --best."""
+    results = _run_workers(nproc=2, n_dev=1, tmp_path=tmp_path,
+                           worker=_FUSED_WORKER)
+    best_mp = results[0]["best"]
+    assert best_mp is not None, "2-proc run recorded no best"
+    # every process observed the same best.json
+    assert results[1]["best"] == best_mp
+
+    # sidecars for the best step exist for BOTH processes
+    aux = tmp_path / "res_shared" / "checkpoints_aux" \
+        / str(best_mp["step"])
+    assert (aux / "proc0").is_dir() and (aux / "proc1").is_dir()
+
+    # single-process reference run, same seed, same global topology
+    sys.path.insert(0, os.path.dirname(__file__))
+    import _mp_fused_worker as W
+    import jax
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    from rltime_tpu.parallel.mesh import make_mesh
+    sp_dir = str(tmp_path / "res_single")
+    FusedApexTrainer(W.fused_cfg(), sp_dir,
+                     mesh=make_mesh(jax.devices()[:2])).train()
+    best_sp = json.load(open(
+        os.path.join(sp_dir, "checkpoints", "best.json")))
+    assert best_sp["step"] == best_mp["step"]
+    assert abs(best_sp["score"] - best_mp["score"]) < 1e-6
     for r in results:
         assert r["resumed_checksum_a"] == r["resumed_checksum_b"]
         assert r["resumed_checksum_a"] != r["param_checksum"]

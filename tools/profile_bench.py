@@ -5,7 +5,10 @@ definition bench.py runs, so optimization work targets what the driver
 actually measures (tools/profile_update.py profiles the older
 multi-update-only program).
 
-Usage:  timeout 550 python tools/profile_bench.py
+Usage:  timeout 550 python tools/profile_bench.py [variant]
+`variant` (optional) names a tools/sweep_gather_fix.py program
+variant (base, nhwc, s2d, ...) so each candidate's device-time
+attribution can be compared against base.
 """
 import glob
 import gzip
@@ -28,7 +31,12 @@ def main():
 
     from rltime_tpu.utils import benchprog
 
-    p = benchprog.build()
+    overrides = {}
+    if len(sys.argv) > 1:
+        from sweep_gather_fix import VARIANTS
+        overrides = VARIANTS[sys.argv[1]]
+        print(f"variant {sys.argv[1]}: {overrides}")
+    p = benchprog.build(**overrides)
     S = p.S
     beta = jnp.float32(0.4)
     tstate, rstate, m = p.superstep(p.tstate, p.rstate, beta,
