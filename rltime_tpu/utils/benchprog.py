@@ -43,6 +43,7 @@ K = 1           # learner updates per chunk
 def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
           k: int = K, channels_last: bool = False,
           space_to_depth: bool = False, unroll: int = 1,
+          pipelined: bool = False, supersteps: int = S,
           **algo_overrides):
     """Construct the bench program. Returns a namespace with:
     superstep (jitted), tstate, rstate, stacked(base)->device chunks,
@@ -63,7 +64,8 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     from rltime_tpu.models.policy import ModelConfig
     from rltime_tpu.training.learner import (
         AlgoConfig, make_train_state, make_update_step,
-        make_insert_and_update_step)
+        make_insert_and_update_step,
+        make_pipelined_insert_and_update_step)
 
     rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=N_STEP,
                         chunk_len=L, lookback=F - 1, prioritized=True)
@@ -103,26 +105,46 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
               else jnp.zeros((1, F, 84, 84), jnp.uint8))
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
     update = make_update_step(mcfg, acfg, rcfg, F, False)
-    insert_update = make_insert_and_update_step(rcfg, update, k)
+    if pipelined:
+        prime, insert_update_p = make_pipelined_insert_and_update_step(
+            rcfg, update, k)
 
-    def superstep(tstate, rstate, beta, chunks):
-        def body(carry, ck):
-            ts, rs = carry
-            ts, rs, m = insert_update(ts, rs, ck, beta)
-            return (ts, rs), m
-        (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
-                                            chunks, unroll=unroll)
-        return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
+        def superstep(tstate, rstate, beta, chunks):
+            # re-primed per dispatch (one extra sample+gather per
+            # dispatch — noise at S=32) so the call signature stays
+            # identical to the non-pipelined program
+            tstate, pending = prime(tstate, rstate, beta)
+
+            def body(carry, ck):
+                ts, rs, pend = carry
+                ts, rs, pend, m = insert_update_p(ts, rs, pend, ck,
+                                                  beta)
+                return (ts, rs, pend), m
+            (tstate, rstate, _), ms = jax.lax.scan(
+                body, (tstate, rstate, pending), chunks,
+                unroll=unroll)
+            return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
+    else:
+        insert_update = make_insert_and_update_step(rcfg, update, k)
+
+        def superstep(tstate, rstate, beta, chunks):
+            def body(carry, ck):
+                ts, rs = carry
+                ts, rs, m = insert_update(ts, rs, ck, beta)
+                return (ts, rs), m
+            (tstate, rstate), ms = jax.lax.scan(body, (tstate, rstate),
+                                                chunks, unroll=unroll)
+            return tstate, rstate, jax.tree.map(lambda x: x[-1], ms)
 
     jitted = jax.jit(superstep, donate_argnums=(0, 1))
 
     def stacked(base):
-        out = [chunk(base + i) for i in range(S)]
+        out = [chunk(base + i) for i in range(supersteps)]
         return {k: jnp.asarray(np.stack([c[k] for c in out]))
                 for k in out[0]}
 
     return types.SimpleNamespace(
         superstep=jitted, tstate=tstate, rstate=rstate,
         stacked=stacked, chunk=chunk, E=E, T=T, L=L, F=F,
-        n_step=N_STEP, batch=batch, S=S, K=k,
+        n_step=N_STEP, batch=batch, S=supersteps, K=k,
         rcfg=rcfg, mcfg=mcfg, acfg=acfg)

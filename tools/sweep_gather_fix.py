@@ -40,6 +40,15 @@ VARIANTS = {
     "nhwc_s2d_unroll2": dict(channels_last=True, space_to_depth=True,
                              unroll=2),
     "s2d_unroll2": dict(space_to_depth=True, unroll=2),
+    # two-stage software pipeline (verdict candidate c): next batch
+    # sampled+gathered during the current update's compute; one-update
+    # priority staleness (make_pipelined_insert_and_update_step)
+    "pipelined": dict(pipelined=True),
+    "pipelined_nhwc": dict(pipelined=True, channels_last=True),
+    "pipelined_unroll2": dict(pipelined=True, unroll=2),
+    # superstep-depth check (r3 swept 8/16/32; is 64 better?)
+    "s64": dict(supersteps=64),
+    "k2_b512": dict(batch=512, k=2),
 }
 
 
