@@ -180,7 +180,8 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
                    supersteps: int = 1,
                    frame_stack: int = 1,
                    flatten: bool = True,
-                   compute_priorities: bool = False):
+                   compute_priorities: bool = False,
+                   interleave: bool = False):
     """Build the jitted fused superstep over the mesh.
 
     `supersteps` > 1 scans S whole supersteps inside ONE dispatch (eps
@@ -193,6 +194,18 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
     disagrees with the row-major layout every internal op wants) is
     paid once per dispatch instead of once per superstep — and host
     dispatch latency amortizes S-fold.
+
+    `interleave` (train.interleave_updates; VERDICT r4 Next #2): ONE
+    scan of chunk_len iterations, each = {1 env step over the local
+    lanes + 1-column insert + num_updates/chunk_len learner updates}.
+    Same work per superstep as the act-then-update shape, but (a) the
+    cadence is per-STEP — updates sample data ≤1 step old, priorities
+    and acting params refresh every step, i.e. STRICTLY fresher than
+    any chunked recipe (the r4 sweep showed coarse L=128 chunking
+    costs score on cadence-sensitive configs), and (b) the per-chunk
+    boundaries that limited throughput amortize over the whole scan,
+    and the 1-column insert frees chunk_len from the ring-safety
+    bound steps_per_env >= 2*(chunk_len+horizon).
     """
     if algo_cfg.algo == "r2d2":
         from rltime_tpu.training.r2d2 import make_r2d2_update_step
@@ -204,19 +217,26 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
         local_update = make_update_step(
             model_cfg, algo_cfg, local_replay_cfg, frame_stack,
             flatten, axis_name="data")
-    act = make_act_phase(env, model_cfg, algo_cfg, chunk_len,
+    act = make_act_phase(env, model_cfg, algo_cfg,
+                         1 if interleave else chunk_len,
                          compute_priorities)
+    if interleave:
+        import dataclasses as _dc
+        if num_updates % chunk_len != 0:
+            raise ValueError(
+                "interleave_updates needs updates_per_chunk to be a "
+                f"multiple of chunk_len (got {num_updates} per "
+                f"{chunk_len})")
+        if algo_cfg.debug_outputs:
+            raise ValueError("debug_outputs/transcripts are not "
+                             "supported with interleave_updates")
+        upd_per_step = num_updates // chunk_len
+        insert_cfg = _dc.replace(local_replay_cfg, chunk_len=1)
+    else:
+        insert_cfg = local_replay_cfg
 
-    def _super(tstate, astate, rstate, eps, beta):
-        # 1) act L steps over the local lanes
-        astate, chunk = act(tstate.params, astate, eps)
-        # 2) local replay insert
-        rstate = replay_insert(local_replay_cfg, rstate, chunk)
-        rstate = rstate.replace(
-            t=jax.lax.pmax(rstate.t, "data"),
-            max_priority=jax.lax.pmax(rstate.max_priority, "data"))
-
-        # 3) K learner updates with ICI pmean. Storage stays OUT of
+    def _run_updates(tstate, rstate, beta, n):
+        # K learner updates with ICI pmean. Storage stays OUT of
         # the scan carry (read-only in updates; carrying it costs
         # full-ring boundary copies — see learner._scan_updates).
         storage = rstate.storage
@@ -239,14 +259,47 @@ def make_superstep(env, model_cfg: ModelConfig, algo_cfg: AlgoConfig,
             return (nt, nr.tree, nr.t, max_p), m
         carry0 = (tstate, rstate.tree, rstate.t, rstate.max_priority)
         (tstate, tree, cur, max_p), ms = jax.lax.scan(
-            upd_body, carry0, None, length=num_updates)
+            upd_body, carry0, None, length=n)
         rstate = rstate.replace(tree=tree, t=cur, max_priority=max_p)
-        metrics = jax.tree.map(lambda m: m[-1], ms)
+        return tstate, rstate, jax.tree.map(lambda m: m[-1], ms)
+
+    def _super(tstate, astate, rstate, eps, beta):
+        # 1) act L steps over the local lanes
+        astate, chunk = act(tstate.params, astate, eps)
+        # 2) local replay insert
+        rstate = replay_insert(local_replay_cfg, rstate, chunk)
+        rstate = rstate.replace(
+            t=jax.lax.pmax(rstate.t, "data"),
+            max_priority=jax.lax.pmax(rstate.max_priority, "data"))
+        # 3) K learner updates
+        tstate, rstate, metrics = _run_updates(tstate, rstate, beta,
+                                               num_updates)
         if algo_cfg.debug_outputs:
             # the chunk's actions ride out per-shard for the
             # transcript's actions digest (Trainer records the same)
             metrics["debug_chunk_action"] = chunk["action"]
         return tstate, astate, rstate, metrics
+
+    def _super_interleaved(tstate, astate, rstate, eps, beta):
+        """{1 env step + 1-column insert + u/L updates} x L in ONE
+        scan — per-step cadence at one-scan amortization."""
+        def body(carry, eps_t):
+            ts, a, r = carry
+            a, chunk = act(ts.params, a, eps_t[None])
+            r = replay_insert(insert_cfg, r, chunk)
+            r = r.replace(
+                t=jax.lax.pmax(r.t, "data"),
+                max_priority=jax.lax.pmax(r.max_priority, "data"))
+            ts, r, m = _run_updates(ts, r, beta, upd_per_step)
+            return (ts, a, r), m
+
+        (tstate, astate, rstate), ms = jax.lax.scan(
+            body, (tstate, astate, rstate), eps)
+        metrics = jax.tree.map(lambda x: x[-1], ms)
+        return tstate, astate, rstate, metrics
+
+    if interleave:
+        _super = _super_interleaved  # noqa: F811 — selected shape
 
     def _multi(tstate, astate, rstate, eps, betas):
         """Scan S supersteps; eps (S, L, E_local), betas (S,)."""
@@ -407,9 +460,14 @@ class FusedApexTrainer:
             horizon = r2d2_horizon(self.algo_cfg)
         else:
             horizon = self.algo_cfg.n_step
+        # interleave_updates inserts ONE column at a time, so the
+        # replay geometry validates against chunk_len=1 — this is what
+        # frees chunk_len from the ring-safety bound (the warm program
+        # still inserts L-chunks through an L-shaped view below)
         self.replay_cfg = ReplayConfig(
             num_envs=e_local, horizon=horizon,
-            chunk_len=self.loop_cfg.chunk_len,
+            chunk_len=(1 if self.loop_cfg.interleave_updates
+                       else self.loop_cfg.chunk_len),
             **config.get("replay", {}))
         self.flatten = len(spec.obs_shape) == 1
 
@@ -456,12 +514,18 @@ class FusedApexTrainer:
             self.loop_cfg.updates_per_chunk, self.replay_state,
             self.actor_state, supersteps=self.supersteps,
             frame_stack=1, flatten=self.flatten,
-            compute_priorities=prio)
+            compute_priorities=prio,
+            interleave=self.loop_cfg.interleave_updates)
         self._warm_super = None
         if self.loop_cfg.warmup_env_steps > 0:
+            import dataclasses as _dc
+            warm_cfg = (_dc.replace(self.replay_cfg,
+                                    chunk_len=self.loop_cfg.chunk_len)
+                        if self.loop_cfg.interleave_updates
+                        else self.replay_cfg)
             self._warm_super = make_warm_superstep(
                 self.env, self.model_cfg, self.algo_cfg,
-                self.replay_cfg, self.mesh, self.loop_cfg.chunk_len,
+                warm_cfg, self.mesh, self.loop_cfg.chunk_len,
                 self.replay_state, self.actor_state,
                 compute_priorities=prio)
         self.exploration = build(config.get(

@@ -74,6 +74,11 @@ class TrainLoopConfig:
     # per superstep. Each scanned superstep consumes its own annealed
     # PER beta, so S > 1 is bit-identical to S single dispatches.
     supersteps_per_dispatch: int = 1
+    # FusedApexTrainer only: interleave updates INSIDE the acting scan
+    # ({1 env step + 1-col insert + updates_per_chunk/chunk_len
+    # updates} x chunk_len per superstep) — per-step cadence at
+    # one-scan amortization; see fused.make_superstep.
+    interleave_updates: bool = False
 
 
 def _mk_model_cfg(model: Dict[str, Any], num_actions: int) -> ModelConfig:

@@ -44,7 +44,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
           k: int = K, channels_last: bool = False,
           space_to_depth: bool = False, unroll: int = 1,
           pipelined: bool = False, supersteps: int = S,
-          **algo_overrides):
+          algo: str = "dqn", **algo_overrides):
     """Construct the bench program. Returns a namespace with:
     superstep (jitted), tstate, rstate, stacked(base)->device chunks,
     and the static shape constants.
@@ -67,33 +67,63 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
         make_insert_and_update_step,
         make_pipelined_insert_and_update_step)
 
-    rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=N_STEP,
-                        chunk_len=L, lookback=F - 1, prioritized=True)
+    # IQN / R2D2 legs (VERDICT r4 Next #7): config-#3/#4-shaped
+    # learner programs so quantile-regression and sequence-unroll
+    # throughput are on the perf record too (tools/bench_algo_legs.py).
+    head = "dueling"
+    lstm = 0
+    if algo == "iqn":
+        head = "iqn"
+        algo_overrides.setdefault("num_tau", 64)
+        algo_overrides.setdefault("num_tau_prime", 64)
+    elif algo == "r2d2":
+        lstm = 512
+        algo_overrides.setdefault("burn_in", 40)
+        algo_overrides.setdefault("seq_len", 80)
+        algo_overrides.setdefault("eta", 0.9)
     mcfg = ModelConfig(num_actions=6, torso="nature_cnn",
-                      head="dueling", compute_dtype="bfloat16",
+                      head=head, lstm_size=lstm,
+                      compute_dtype="bfloat16",
                       channels_last=channels_last,
                       space_to_depth=space_to_depth)
-    algo_overrides.setdefault("batched_next_forward", True)
-    acfg = AlgoConfig(algo="dqn", batch_size=batch, n_step=N_STEP,
+    if algo == "dqn":
+        algo_overrides.setdefault("batched_next_forward", True)
+    acfg = AlgoConfig(algo=algo, batch_size=batch, n_step=N_STEP,
                       double_q=True, lr=1e-4, target_update_freq=500,
                       **algo_overrides)
+    if algo == "r2d2":
+        from rltime_tpu.training.r2d2 import r2d2_horizon
+        horizon = r2d2_horizon(acfg)
+    else:
+        horizon = N_STEP
+    rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=horizon,
+                        chunk_len=L, lookback=F - 1, prioritized=True)
     fields = {"obs": ((84, 84), jnp.uint8),
               "action": ((), jnp.int32),
               "reward": ((), jnp.float32),
               "terminated": ((), jnp.bool_),
               "done": ((), jnp.bool_)}
+    if algo == "r2d2":
+        fields["rnn_c"] = ((512,), jnp.float32)
+        fields["rnn_h"] = ((512,), jnp.float32)
     rstate = replay_init(rcfg, fields)
     rng = np.random.default_rng(seed)
 
     def chunk(i):
         del i  # draws advance `rng`; arg kept for call-site clarity
-        return dict(
+        out = dict(
             obs=rng.integers(0, 255, size=(E, L, 84, 84),
                              dtype=np.uint8),
             action=rng.integers(0, 6, size=(E, L)).astype(np.int32),
             reward=rng.normal(size=(E, L)).astype(np.float32),
             terminated=(rng.random((E, L)) < 0.02),
             done=(rng.random((E, L)) < 0.02))
+        if algo == "r2d2":
+            out["rnn_c"] = rng.normal(
+                size=(E, L, 512)).astype(np.float32)
+            out["rnn_h"] = rng.normal(
+                size=(E, L, 512)).astype(np.float32)
+        return out
 
     # NB: loop variable must NOT be named `k` — it would shadow the
     # `k` (updates per chunk) parameter (caught round 4: the warmup
@@ -104,7 +134,12 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     ex_obs = (jnp.zeros((1, 84, 84, F), jnp.uint8) if channels_last
               else jnp.zeros((1, F, 84, 84), jnp.uint8))
     tstate = make_train_state(mcfg, acfg, jax.random.key(0), ex_obs)
-    update = make_update_step(mcfg, acfg, rcfg, F, False)
+    if algo == "r2d2":
+        from rltime_tpu.training.r2d2 import make_r2d2_update_step
+        update = make_r2d2_update_step(mcfg, acfg, rcfg, F, False)
+        assert not pipelined, "pipelined is an FF-learner experiment"
+    else:
+        update = make_update_step(mcfg, acfg, rcfg, F, False)
     if pipelined:
         prime, insert_update_p = make_pipelined_insert_and_update_step(
             rcfg, update, k)
@@ -147,4 +182,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
         superstep=jitted, tstate=tstate, rstate=rstate,
         stacked=stacked, chunk=chunk, E=E, T=T, L=L, F=F,
         n_step=N_STEP, batch=batch, S=supersteps, K=k,
+        # transitions CONSUMED per update (R2D2 consumes whole
+        # training windows per sampled sequence)
+        tx_per_update=batch * (acfg.seq_len if algo == "r2d2" else 1),
         rcfg=rcfg, mcfg=mcfg, acfg=acfg)

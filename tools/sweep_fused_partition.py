@@ -14,7 +14,7 @@ import sys, time, json, tempfile, os
 sys.path.insert(0, "/root/repo")
 import numpy as np
 
-def run(L, upd, S):
+def run(L, upd, S, interleave=False):
     import jax
     from rltime_tpu.parallel.fused import FusedApexTrainer
     from rltime_tpu.parallel.mesh import make_mesh
@@ -32,7 +32,8 @@ def run(L, upd, S):
         "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
                   "chunk_len": L, "updates_per_chunk": upd,
                   "log_interval": 10**9,
-                  "supersteps_per_dispatch": S},
+                  "supersteps_per_dispatch": S,
+                  "interleave_updates": interleave},
     }
     t = FusedApexTrainer(cfg, tempfile.mkdtemp(),
                          mesh=make_mesh(jax.devices()[:1]))
@@ -52,9 +53,19 @@ os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # same 128 env-steps/lane and 256 updates per dispatch in each variant
-for L, upd, S in ((16, 32, 8), (32, 64, 4), (64, 128, 2),
-                  (128, 256, 1), (16, 32, 8)):
-    v = run(L, upd, S)
-    print(json.dumps({"chunk_len": L, "updates_per_chunk": upd,
-                      "supersteps": S,
-                      "env_steps_per_s": round(v, 1)}), flush=True)
+# (r5 adds interleave_updates cadences: per-step updates + 1-col
+# inserts in one scan — and L=256/512, legal because the 1-col insert
+# escapes the ring-safety chunk bound)
+VARIANTS = [
+    dict(L=16, upd=32, S=8),
+    dict(L=128, upd=256, S=1),
+    dict(L=128, upd=256, S=1, interleave=True),
+    dict(L=256, upd=512, S=1, interleave=True),
+    dict(L=512, upd=1024, S=1, interleave=True),
+    dict(L=16, upd=32, S=8, interleave=True),
+    dict(L=16, upd=32, S=8),  # A/B/A closer
+]
+for kw in VARIANTS:
+    v = run(kw["L"], kw["upd"], kw["S"], kw.get("interleave", False))
+    print(json.dumps({**kw, "env_steps_per_s": round(v, 1)}),
+          flush=True)

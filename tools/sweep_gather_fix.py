@@ -46,8 +46,11 @@ VARIANTS = {
     "pipelined": dict(pipelined=True),
     "pipelined_nhwc": dict(pipelined=True, channels_last=True),
     "pipelined_unroll2": dict(pipelined=True, unroll=2),
-    # superstep-depth check (r3 swept 8/16/32; is 64 better?)
+    # superstep-depth check (r3 swept 8/16/32; r5: 64 wins +7%)
     "s64": dict(supersteps=64),
+    "s96": dict(supersteps=96),
+    "s128": dict(supersteps=128),
+    "s64_nhwc": dict(supersteps=64, channels_last=True),
     "k2_b512": dict(batch=512, k=2),
 }
 
@@ -73,7 +76,7 @@ def run_variant(name, overrides, dispatches=4):
                                               chunks[i])
     float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
-    tx = dispatches * p.S * p.K * p.batch / dt
+    tx = dispatches * p.S * p.K * p.tx_per_update / dt
     print(f"RESULT {name}: {tx:,.0f} tx/s  "
           f"(compile+warm {compile_s:.1f}s, loss0 {loss0:.4f})",
           flush=True)
