@@ -35,8 +35,13 @@ E, T, L, F, N_STEP = 64, 1024, 32, 4, 3
 # updates) — kept out of the headline because it triples the recipe's
 # sample ratio.
 BATCH = 1024
-S = 32          # chunks (supersteps) per dispatch (r3 on-chip sweep:
-                # 280k tx/s vs 267k @16, 251k @8 — tools/sweep_superstep)
+S = 64          # chunks (supersteps) per dispatch. r5 same-process
+                # sweep (tools/sweep_gather_fix.py): 64 = 389.4k tx/s
+                # > 32 @ 361.6k (+7% — deeper scan amortizes the ring
+                # entry/exit relayout + dispatch latency further);
+                # 96 = 377.9k and 128 = 382.4k regress (bigger staged
+                # chunk buffers), so 64 is the knee. (r3 swept
+                # 8/16/32: 251k/267k/280k.)
 K = 1           # learner updates per chunk
 
 
