@@ -71,7 +71,12 @@ def main():
         return float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
 
     checksum = checksum_of(t.train_state)
-    rets = t.episode_stats()
+    # train() pops episode stats at every log interval now (the global
+    # best-checkpoint path), so count completions cumulatively:
+    # _stats_popped holds each shard's lifetime completed-episode
+    # cursor, plus whatever is still fresh in the rings.
+    t.episode_stats()   # syncs _stats_popped to the lifetime cursors
+    num_episodes = sum(t._stats_popped.values())
 
     # Deterministic resume: two fresh trainers restoring the same
     # checkpoint (lead learner + THIS process's sidecar: actor rows,
@@ -96,7 +101,7 @@ def main():
             "updates_done": t.updates_done,
             "env_steps": t.env_steps,
             "param_checksum": checksum,
-            "num_episodes": len(rets),
+            "num_episodes": num_episodes,
             "resumed_checksum_a": resumed[0],
             "resumed_checksum_b": resumed[1],
             "best": best,
