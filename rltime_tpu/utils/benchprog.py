@@ -49,7 +49,8 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
           k: int = K, channels_last: bool = False,
           space_to_depth: bool = False, unroll: int = 1,
           pipelined: bool = False, supersteps: int = S,
-          algo: str = "dqn", **algo_overrides):
+          algo: str = "dqn", num_envs: int = E, chunk_len: int = L,
+          **algo_overrides):
     """Construct the bench program. Returns a namespace with:
     superstep (jitted), tstate, rstate, stacked(base)->device chunks,
     and the static shape constants.
@@ -61,6 +62,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     algo.gather_barrier and `unroll` (chunk-scan unroll for XLA
     software pipelining) are the r5 gather-plane candidates
     (tools/sweep_gather_fix.py)."""
+    E_, L_ = num_envs, chunk_len
     import jax
     import jax.numpy as jnp
 
@@ -101,8 +103,8 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
         horizon = r2d2_horizon(acfg)
     else:
         horizon = N_STEP
-    rcfg = ReplayConfig(num_envs=E, steps_per_env=T, horizon=horizon,
-                        chunk_len=L, lookback=F - 1, prioritized=True)
+    rcfg = ReplayConfig(num_envs=E_, steps_per_env=T, horizon=horizon,
+                        chunk_len=L_, lookback=F - 1, prioritized=True)
     fields = {"obs": ((84, 84), jnp.uint8),
               "action": ((), jnp.int32),
               "reward": ((), jnp.float32),
@@ -117,17 +119,17 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
     def chunk(i):
         del i  # draws advance `rng`; arg kept for call-site clarity
         out = dict(
-            obs=rng.integers(0, 255, size=(E, L, 84, 84),
+            obs=rng.integers(0, 255, size=(E_, L_, 84, 84),
                              dtype=np.uint8),
-            action=rng.integers(0, 6, size=(E, L)).astype(np.int32),
-            reward=rng.normal(size=(E, L)).astype(np.float32),
-            terminated=(rng.random((E, L)) < 0.02),
-            done=(rng.random((E, L)) < 0.02))
+            action=rng.integers(0, 6, size=(E_, L_)).astype(np.int32),
+            reward=rng.normal(size=(E_, L_)).astype(np.float32),
+            terminated=(rng.random((E_, L_)) < 0.02),
+            done=(rng.random((E_, L_)) < 0.02))
         if algo == "r2d2":
             out["rnn_c"] = rng.normal(
-                size=(E, L, 512)).astype(np.float32)
+                size=(E_, L_, 512)).astype(np.float32)
             out["rnn_h"] = rng.normal(
-                size=(E, L, 512)).astype(np.float32)
+                size=(E_, L_, 512)).astype(np.float32)
         return out
 
     # NB: loop variable must NOT be named `k` — it would shadow the
@@ -185,7 +187,7 @@ def build(warm_chunks: int = 8, seed: int = 0, batch: int = BATCH,
 
     return types.SimpleNamespace(
         superstep=jitted, tstate=tstate, rstate=rstate,
-        stacked=stacked, chunk=chunk, E=E, T=T, L=L, F=F,
+        stacked=stacked, chunk=chunk, E=E_, T=T, L=L_, F=F,
         n_step=N_STEP, batch=batch, S=supersteps, K=k,
         # transitions CONSUMED per update (R2D2 consumes whole
         # training windows per sampled sequence)

@@ -52,6 +52,11 @@ VARIANTS = {
     "s128": dict(supersteps=128),
     "s64_nhwc": dict(supersteps=64, channels_last=True),
     "k2_b512": dict(batch=512, k=2),
+    # bigger chunk/batch at the SAME 0.5 samples/insert ratio
+    # (s32 pairs: the staged-chunk buffers double, so compare at S=32)
+    "base_s32": dict(supersteps=32),
+    "L64_b2048_s32": dict(supersteps=32, chunk_len=64, batch=2048),
+    "e128_b2048_s32": dict(supersteps=32, num_envs=128, batch=2048),
 }
 
 
