@@ -46,8 +46,18 @@ def _ale_flags():
         if os.path.exists(os.path.join(inc, "ale_interface.hpp")):
             lib_dir = os.path.dirname(ale_py.__file__)
             sos = (glob.glob(os.path.join(lib_dir, "libale*.so*"))
-                   or glob.glob(os.path.join(lib_dir, "_ale_py*.so")))
+                   or glob.glob(os.path.join(lib_dir, "_ale_py*.so"))
+                   or glob.glob(os.path.join(lib_dir, "**", "libale*.so*"),
+                                recursive=True))
             if not sos:
+                import warnings
+                warnings.warn(
+                    "ale_py headers found but no libale*/_ale_py* "
+                    f"shared object under {lib_dir} — the native "
+                    "Atari lane will fall back to SYNTHETIC load-"
+                    "generator lanes (scores are meaningless). Use "
+                    "env.type='atari' (Python ALE) or point the "
+                    "build at the ALE library.", stacklevel=2)
                 return []
             return ["-DRLTIME_HAVE_ALE", f"-I{inc}",
                     f"-L{lib_dir}",

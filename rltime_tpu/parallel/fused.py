@@ -366,10 +366,25 @@ def make_warm_superstep(env, model_cfg: ModelConfig,
     """
     act = make_act_phase(env, model_cfg, algo_cfg, chunk_len,
                          compute_priorities)
+    # interleave_updates runs with a chunk_len=1 replay geometry (the
+    # point: 1-col inserts escape the ring-safety chunk bound). The
+    # warm program still ACTS L steps per dispatch; it inserts the
+    # chunk column-by-column through the same 1-col view instead of
+    # re-validating an L-shaped config (which would re-impose the
+    # bound warmup cannot violate — it only inserts, never samples).
+    per_col = local_replay_cfg.chunk_len == 1 and chunk_len > 1
 
     def _warm(params, astate, rstate, eps):
         astate, chunk = act(params, astate, eps)
-        rstate = replay_insert(local_replay_cfg, rstate, chunk)
+        if per_col:
+            cols = jax.tree.map(
+                lambda x: jnp.moveaxis(x[:, :, None], 1, 0), chunk)
+
+            def body(r, col):
+                return replay_insert(local_replay_cfg, r, col), None
+            rstate, _ = jax.lax.scan(body, rstate, cols)
+        else:
+            rstate = replay_insert(local_replay_cfg, rstate, chunk)
         rstate = rstate.replace(
             t=jax.lax.pmax(rstate.t, "data"),
             max_priority=jax.lax.pmax(rstate.max_priority, "data"))
@@ -455,6 +470,13 @@ class FusedApexTrainer:
                 "set train.warmup_env_steps=0 for the exact-numerics "
                 "harness (Trainer records warmup chunks too, so the "
                 "transcripts would differ)")
+        if self.algo_cfg.debug_outputs and jax.process_count() > 1:
+            # the P('data') debug leaves span non-addressable devices
+            # on a process-spanning mesh; the exactness harness is a
+            # single-process (any d) workflow
+            raise ValueError(
+                "record_transcript/debug_outputs on the fused path "
+                "requires a single-process run")
         if self.algo_cfg.algo == "r2d2":
             from rltime_tpu.training.r2d2 import r2d2_horizon
             horizon = r2d2_horizon(self.algo_cfg)
@@ -518,14 +540,9 @@ class FusedApexTrainer:
             interleave=self.loop_cfg.interleave_updates)
         self._warm_super = None
         if self.loop_cfg.warmup_env_steps > 0:
-            import dataclasses as _dc
-            warm_cfg = (_dc.replace(self.replay_cfg,
-                                    chunk_len=self.loop_cfg.chunk_len)
-                        if self.loop_cfg.interleave_updates
-                        else self.replay_cfg)
             self._warm_super = make_warm_superstep(
                 self.env, self.model_cfg, self.algo_cfg,
-                warm_cfg, self.mesh, self.loop_cfg.chunk_len,
+                self.replay_cfg, self.mesh, self.loop_cfg.chunk_len,
                 self.replay_state, self.actor_state,
                 compute_priorities=prio)
         self.exploration = build(config.get(

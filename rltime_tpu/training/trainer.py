@@ -168,6 +168,12 @@ class Trainer:
             ex_obs = jnp.zeros(
                 (1, int(np.prod(spec.obs_shape)) * self.frame_stack),
                 jnp.float32)
+        elif self.model_cfg.channels_last:
+            # NHWC model contract: frames land on the LAST axis
+            # (matches the learner's NHWC union gather and the
+            # actor's per-step transpose)
+            ex_obs = jnp.zeros(
+                (1,) + spec.obs_shape + (self.frame_stack,), obs_jdt)
         else:
             ex_obs = jnp.zeros((1, self.frame_stack) + spec.obs_shape,
                                obs_jdt)

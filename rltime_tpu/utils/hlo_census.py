@@ -68,6 +68,11 @@ def collective_census(hlo_text: str) -> List[Dict]:
         # the RESULT shape is everything before the opcode token
         # (tuple shapes may contain /*index=N*/ comments)
         shape = rhs[:max(m.start() - 1, 0)].strip()
+        if phase == "-start" and shape.startswith("("):
+            # async start ops return (aliased-operand, result, ...)
+            # tuples — counting the whole tuple double-counts the
+            # payload; the first element is the true payload shape
+            shape = shape[1:].split(",", 1)[0].strip()
         out.append(dict(name=name.strip(), op=op, shape=shape,
                         bytes=shape_bytes(shape)))
     return out

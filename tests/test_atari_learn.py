@@ -147,6 +147,34 @@ def test_catch_rewards_reachable(atari_mod):
     assert total >= 8, total
 
 
+def test_trainer_channels_last_constructs_and_trains(atari_mod,
+                                                     tmp_path):
+    """model.channels_last through the real Trainer: init example obs
+    must be NHWC (code-review r5 finding: NCHW example made conv_0
+    see a height-4 image and crash at construction)."""
+    from rltime_tpu.training.trainer import Trainer
+    cfg = {
+        "seed": 0,
+        "env": {"type": "atari", "num_envs": 2, "rom": "catch",
+                "noop_max": 2},
+        "frame_stack": 4,
+        "model": {"torso": "nature_cnn", "cnn_channels": [4, 4, 4],
+                  "cnn_fc": 16, "head": "dueling",
+                  "dueling_hidden": 8, "compute_dtype": "float32",
+                  "channels_last": True},
+        "replay": {"steps_per_env": 64, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 4, "n_step": 2,
+                 "lr": 1e-3, "target_update_freq": 10},
+        "train": {"total_env_steps": 10**9, "warmup_env_steps": 0,
+                  "chunk_len": 8, "updates_per_chunk": 1,
+                  "log_interval": 10**9, "track_best": False},
+    }
+    t = Trainer(cfg, str(tmp_path / "cl"))
+    for _ in range(2):
+        m, _ = t.train_chunk()
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.slow
 def test_dqn_learns_catch_through_atari_stack(atari_mod, tmp_path):
     """Config-#2-shaped DQN (Nature CNN, PER, n-step, double/dueling,

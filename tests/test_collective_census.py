@@ -123,3 +123,6 @@ def test_census_parser_smoke():
                                       "all-reduce"]
     assert ents[0]["bytes"] == 128 * 64 * 4
     assert ents[1]["bytes"] == 64 * 1024 * 10 * 10 * 4
+    # async -start: payload counted ONCE (first tuple element), not
+    # the whole (operand, result) tuple
+    assert ents[2]["bytes"] == 2 * 4

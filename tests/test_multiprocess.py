@@ -118,6 +118,14 @@ def test_fused_two_process_end_to_end(tmp_path, nproc, n_dev):
     # program.
     assert len({r["param_checksum"] for r in results}) == 1
     assert results[0]["param_checksum"] != 0.0
+    # Deterministic resume on EVERY topology (restored here after a
+    # round-5 edit accidentally moved these into the 2x1-only test):
+    # two independent restores of the same checkpoint evolve
+    # identically, on every process, and actually trained on.
+    for r in results:
+        assert r["resumed_checksum_a"] == r["resumed_checksum_b"]
+        assert r["resumed_checksum_a"] != r["param_checksum"]
+    assert len({r["resumed_checksum_a"] for r in results}) == 1
 
 
 @pytest.mark.multiprocess
@@ -153,7 +161,3 @@ def test_fused_global_best_checkpoint(tmp_path):
         os.path.join(sp_dir, "checkpoints", "best.json")))
     assert best_sp["step"] == best_mp["step"]
     assert abs(best_sp["score"] - best_mp["score"]) < 1e-6
-    for r in results:
-        assert r["resumed_checksum_a"] == r["resumed_checksum_b"]
-        assert r["resumed_checksum_a"] != r["param_checksum"]
-    assert len({r["resumed_checksum_a"] for r in results}) == 1

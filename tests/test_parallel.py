@@ -280,6 +280,34 @@ def test_fused_interleaved_superstep(tmp_path):
     assert np.all(tree[:, 1] > 0)
 
 
+def test_fused_interleave_long_chunk_with_warmup(tmp_path):
+    """interleave's ring-safety exemption must survive warmup: with
+    chunk_len=64 on a 128-step ring (illegal for L-shaped inserts),
+    the warm program inserts column-by-column (code-review r5
+    finding: a warm-cfg re-validation re-imposed the bound)."""
+    from rltime_tpu.parallel.fused import FusedApexTrainer
+    cfg = {
+        "seed": 0,
+        "env": {"type": "cartpole_device", "num_envs": 4},
+        "model": {"torso": "mlp", "mlp_hidden": [16],
+                  "head": "linear"},
+        "replay": {"steps_per_env": 128, "prioritized": True},
+        "algo": {"algo": "dqn", "batch_size": 8, "n_step": 2,
+                 "lr": 1e-3, "target_update_freq": 10},
+        "train": {"total_env_steps": 10**9,
+                  "warmup_env_steps": 4096,
+                  "chunk_len": 64, "updates_per_chunk": 64,
+                  "log_interval": 10**9,
+                  "interleave_updates": True},
+    }
+    t = FusedApexTrainer(cfg, str(tmp_path / "il64"))
+    t.superstep()                      # warm act + per-column inserts
+    assert t.updates_done == 0
+    m = t.superstep()                  # crosses warmup, trains
+    assert t.updates_done == 64
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_fused_multi_superstep_bit_identical(tmp_path):
     """S supersteps scanned in ONE dispatch == S sequential dispatches
     (same seed, ANNEALING beta — each scanned superstep consumes its
