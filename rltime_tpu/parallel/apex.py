@@ -187,6 +187,9 @@ class ApexTrainer:
         self.timers = PhaseTimers()
         self._steps_at_last_log = 0
         self._time_at_last_log = time.time()
+        self._best_score = float("-inf")
+        self._protected_steps: set = set()
+        self.episodes_seen = 0   # local episodes popped by train()
         if self.loop_cfg.resume:
             self.try_resume()
 
@@ -258,7 +261,7 @@ class ApexTrainer:
         from rltime_tpu.parallel.mesh import local_shard_rows
         return local_shard_rows(x)
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, protect: bool = True):
         """Lead process saves the replicated learner state (orbax);
         EVERY process additionally writes a per-process sidecar
         (checkpoints_aux/<step>/proc<i>.npz) holding its actor PRNG
@@ -269,6 +272,8 @@ class ApexTrainer:
         import os
         from rltime_tpu.training import checkpoint as ckpt_lib
         step = self.global_env_steps
+        if protect:
+            self._protected_steps.add(step)
         path = None
         if self.is_lead:
             host = dict(env_steps=self.actor.env_steps,
@@ -343,8 +348,35 @@ class ApexTrainer:
                         self._chunk_sharding, aux["tree"]),
                     max_priority=make_global_array(
                         aux["max_priority"], self.mesh, P()))
+        best = ckpt_lib.best_step(self.result_dir)
+        if best is not None:
+            # resumed runs must not mark a worse mean as 'best'
+            self._best_score = float(best["score"])
+        best_only = (int(best["step"])
+                     if best is not None and best.get("best_only")
+                     else None)
+        ckdir = os.path.join(self.result_dir, "checkpoints")
+        self._protected_steps = {
+            int(x) for x in os.listdir(ckdir)
+            if x.isdigit() and int(x) != best_only}
         print(f"apex: resumed from checkpoint at step {step}")
         return True
+
+    def _global_rets(self, rets):
+        """Pool episode returns across processes (fixed-size NaN-pad
+        allgather; identical multiset on every process) so the best-
+        checkpoint decision is process-count-invariant — same design
+        as fused.global_episode_stats."""
+        if jax.process_count() == 1:
+            return list(rets)
+        from jax.experimental import multihost_utils
+        cap = 512
+        buf = np.full((cap,), np.nan, np.float32)
+        r = np.asarray(rets, np.float32)[:cap]
+        buf[:len(r)] = r
+        pooled = np.asarray(multihost_utils.process_allgather(buf))
+        return [float(v) for v in pooled.reshape(-1)
+                if not np.isnan(v)]
 
     def train(self):
         cfg = self.loop_cfg
@@ -352,9 +384,26 @@ class ApexTrainer:
         next_ckpt = self.global_env_steps + cfg.checkpoint_interval
         while self.global_env_steps < cfg.total_env_steps:
             metrics = self.train_chunk()
-            if self.is_lead and self.global_env_steps >= next_log:
+            if self.global_env_steps >= next_log:
                 next_log = self.global_env_steps + cfg.log_interval
-                self._log(metrics)
+                # EVERY process pops + pools stats at the same
+                # deterministic chunk (the allgather is a rendezvous);
+                # the best decision and collective sidecar save then
+                # run everywhere, best.json/GC lead-only.
+                rets, lens = self.actor.episode_stats()
+                self.episodes_seen += len(rets)
+                g_rets = self._global_rets(rets)
+                if cfg.track_best and g_rets:
+                    from rltime_tpu.training import (
+                        checkpoint as ckpt_lib)
+                    self._best_score = ckpt_lib.maybe_record_best(
+                        self.result_dir, self._best_score,
+                        float(np.mean(g_rets)), len(g_rets),
+                        cfg.best_min_episodes, self.global_env_steps,
+                        lambda: self.save_checkpoint(protect=False),
+                        self._protected_steps, lead=self.is_lead)
+                if self.is_lead:
+                    self._log(metrics, g_rets, lens)
             if self.global_env_steps >= next_ckpt:
                 next_ckpt = (self.global_env_steps
                              + cfg.checkpoint_interval)
@@ -364,11 +413,11 @@ class ApexTrainer:
             self.logger.close()
         return self
 
-    def _log(self, metrics):
+    def _log(self, metrics, rets, lens):
         """Same scalar set as Trainer._log (the multi-host path is the
-        one whose curves get compared): clipped returns, TRUE game
-        scores, episode lengths, phase timers, throughput."""
-        rets, lens = self.actor.episode_stats()
+        one whose curves get compared): clipped returns (pooled over
+        all processes), TRUE game scores, episode lengths, phase
+        timers, throughput."""
         now = time.time()
         steps = self.global_env_steps
         sps = ((steps - self._steps_at_last_log)

@@ -48,7 +48,11 @@ def main():
         "exploration": {"type": "epsilon_greedy", "mode": "ladder"},
         "train": {"total_env_steps": 1600, "warmup_env_steps": 400,
                   "chunk_len": 8, "updates_per_chunk": 1,
-                  "log_interval": 10_000,
+                  # small enough to exercise the r5 GLOBAL
+                  # best-checkpoint path (pooled-stats allgather +
+                  # collective sidecar save) under gloo
+                  "log_interval": 512, "track_best": True,
+                  "best_min_episodes": 1,
                   "checkpoint_interval": 10**9,
                   "checkpoint_replay": True},
     }
@@ -63,7 +67,10 @@ def main():
         return float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
 
     checksum = checksum_of(t.train_state)
+    # train() pops stats at log intervals now (global best path):
+    # cumulative count = popped-during-train + still-fresh
     rets, _ = t.actor.episode_stats()
+    num_episodes = t.episodes_seen + len(rets)
     saved_key = np.asarray(jax.random.key_data(t.actor.state.key))
     saved_tree = np.asarray(jax.device_get(
         ApexTrainer._local_block(t.replay_state.tree)))
@@ -97,7 +104,7 @@ def main():
             "updates_done": t.updates_done,
             "global_env_steps": t.global_env_steps,
             "param_checksum": checksum,
-            "num_episodes": len(rets),
+            "num_episodes": num_episodes,
             "resumed_checksum_a": resumed[0],
             "resumed_checksum_b": resumed[1],
         }, f)

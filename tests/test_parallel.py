@@ -191,10 +191,18 @@ def test_apex_trainer_end_to_end(tmp_path):
         "exploration": {"type": "epsilon_greedy", "mode": "ladder"},
         "train": {"total_env_steps": 800, "warmup_env_steps": 200,
                   "chunk_len": 8, "updates_per_chunk": 1,
-                  "log_interval": 10_000},
+                  "log_interval": 256, "track_best": True,
+                  "best_min_episodes": 1},
     }
     t = ApexTrainer(cfg, str(tmp_path / "apex")).train()
     assert t.updates_done > 0
+    # best-checkpoint tracking on the apex path (r5 parity with
+    # Trainer/fused): a best was recorded and its checkpoint exists
+    from rltime_tpu.training import checkpoint as ckpt_lib
+    best = ckpt_lib.best_step(str(tmp_path / "apex"))
+    assert best is not None and best["score"] > 0
+    assert (tmp_path / "apex" / "checkpoints"
+            / str(best["step"])).is_dir()
     # ladder: 16 global lanes, per-lane eps strictly decreasing
     eps = t.actor.exploration.epsilons(16, 0)
     assert np.all(np.diff(eps) < 0)
