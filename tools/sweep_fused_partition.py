@@ -56,9 +56,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # (r5 adds interleave_updates cadences: per-step updates + 1-col
 # inserts in one scan — and L=256/512, legal because the 1-col insert
 # escapes the ring-safety chunk bound)
+# r5 measurements at the bench cadence: S=1 337.4k > S=2 288.8k >
+# S=4 297.3k env-steps/s — wrapping the L=128 superstep in an outer
+# S-scan ADDS ring-boundary copies around the inner act/update scans
+# (the same per-outer-iteration fixed cost the interleave result
+# quantified); the bench keeps S=1.
 VARIANTS = [
     dict(L=16, upd=32, S=8),
     dict(L=128, upd=256, S=1),
+    dict(L=128, upd=256, S=2),
     dict(L=128, upd=256, S=1, interleave=True),
     dict(L=256, upd=512, S=1, interleave=True),
     dict(L=512, upd=1024, S=1, interleave=True),
