@@ -274,6 +274,10 @@ class ApexTrainer:
         step = self.global_env_steps
         if protect:
             self._protected_steps.add(step)
+            if self.is_lead:
+                # an interval save at an already-best step clears its
+                # best_only flag so post-resume GC can't reclaim it
+                ckpt_lib.unmark_best_only(self.result_dir, step)
         path = None
         if self.is_lead:
             host = dict(env_steps=self.actor.env_steps,
@@ -352,31 +356,10 @@ class ApexTrainer:
         if best is not None:
             # resumed runs must not mark a worse mean as 'best'
             self._best_score = float(best["score"])
-        best_only = (int(best["step"])
-                     if best is not None and best.get("best_only")
-                     else None)
-        ckdir = os.path.join(self.result_dir, "checkpoints")
-        self._protected_steps = {
-            int(x) for x in os.listdir(ckdir)
-            if x.isdigit() and int(x) != best_only}
+        self._protected_steps = ckpt_lib.derive_protected_steps(
+            self.result_dir)
         print(f"apex: resumed from checkpoint at step {step}")
         return True
-
-    def _global_rets(self, rets):
-        """Pool episode returns across processes (fixed-size NaN-pad
-        allgather; identical multiset on every process) so the best-
-        checkpoint decision is process-count-invariant — same design
-        as fused.global_episode_stats."""
-        if jax.process_count() == 1:
-            return list(rets)
-        from jax.experimental import multihost_utils
-        cap = 512
-        buf = np.full((cap,), np.nan, np.float32)
-        r = np.asarray(rets, np.float32)[:cap]
-        buf[:len(r)] = r
-        pooled = np.asarray(multihost_utils.process_allgather(buf))
-        return [float(v) for v in pooled.reshape(-1)
-                if not np.isnan(v)]
 
     def train(self):
         cfg = self.loop_cfg
@@ -392,13 +375,18 @@ class ApexTrainer:
                 # run everywhere, best.json/GC lead-only.
                 rets, lens = self.actor.episode_stats()
                 self.episodes_seen += len(rets)
-                g_rets = self._global_rets(rets)
-                if cfg.track_best and g_rets:
+                from rltime_tpu.parallel.mesh import (
+                    pool_process_stats)
+                g_rets, g_sum, g_n = pool_process_stats(rets,
+                                                        cap=4096)
+                if cfg.track_best and g_n > 0:
                     from rltime_tpu.training import (
                         checkpoint as ckpt_lib)
+                    # decision uses the EXACT global mean/count (the
+                    # pooled multiset may truncate past `cap`/process)
                     self._best_score = ckpt_lib.maybe_record_best(
                         self.result_dir, self._best_score,
-                        float(np.mean(g_rets)), len(g_rets),
+                        g_sum / g_n, g_n,
                         cfg.best_min_episodes, self.global_env_steps,
                         lambda: self.save_checkpoint(protect=False),
                         self._protected_steps, lead=self.is_lead)
@@ -429,6 +417,10 @@ class ApexTrainer:
         if rets:
             scalars["episode_return_mean"] = float(np.mean(rets))
             scalars["episode_return_median"] = float(np.median(rets))
+        if lens:
+            # lens are the LEAD's local episodes (returns are pooled
+            # globally); guard separately — other hosts may have
+            # finished episodes in an interval where the lead did not
             scalars["episode_len_mean"] = float(np.mean(lens))
         if hasattr(self.env, "pop_completed_scores"):
             scores = self.env.pop_completed_scores()

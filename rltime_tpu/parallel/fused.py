@@ -661,16 +661,15 @@ class FusedApexTrainer:
         process-identical (VERDICT r4 Next #5). Fresh returns per
         shard are bounded by STATS_RING, so the gather payload is
         static ((nproc, local_shards*STATS_RING) f32)."""
+        from rltime_tpu.parallel.mesh import pool_process_stats
         rets = self.episode_stats()
         if jax.process_count() == 1:
             return rets
-        from jax.experimental import multihost_utils
-        cap = STATS_RING * jax.local_device_count()
-        buf = np.full((cap,), np.nan, np.float32)
-        buf[:len(rets)] = np.asarray(rets, np.float32)[:cap]
-        pooled = np.asarray(multihost_utils.process_allgather(buf))
-        return [float(v) for v in pooled.reshape(-1)
-                if not np.isnan(v)]
+        # cap is EXACT here: fresh returns per shard are bounded by
+        # STATS_RING, so nothing can be truncated
+        pooled, _, _ = pool_process_stats(
+            rets, cap=STATS_RING * jax.local_device_count())
+        return pooled
 
     # ----- checkpointing (SURVEY.md §5.4 on the fused path) -----
     def _host_state(self):
@@ -724,6 +723,10 @@ class FusedApexTrainer:
                         self.replay_state.max_priority)))
         if protect:
             self._protected_steps.add(step)
+            if self.is_lead:
+                # an interval save at an already-best step clears its
+                # best_only flag so post-resume GC can't reclaim it
+                ckpt_lib.unmark_best_only(self.result_dir, step)
         return path
 
     def _try_resume(self):
@@ -750,17 +753,10 @@ class FusedApexTrainer:
         self.env_steps = int(hs["env_steps"])
         self.updates_done = int(hs["updates"])
         # Protected (interval/final) steps don't survive the process,
-        # so re-derive them: every existing checkpoint dir is protected
-        # from best-GC except the one best.json marks best_only
-        # (advisor r4: a post-resume new best must not reclaim a
-        # pre-crash interval checkpoint).
-        ckdir = os.path.join(self.result_dir, "checkpoints")
-        best_only = (int(best["step"])
-                     if best is not None and best.get("best_only")
-                     else None)
-        self._protected_steps = {
-            int(x) for x in os.listdir(ckdir)
-            if x.isdigit() and int(x) != best_only}
+        # so re-derive them (shared rule; advisor r4: a post-resume
+        # new best must not reclaim a pre-crash interval checkpoint).
+        self._protected_steps = ckpt_lib.derive_protected_steps(
+            self.result_dir)
         # this process's own sidecar: local actor rows (+ replay)
         d = self._aux_dir(step)
         if not os.path.isdir(d):

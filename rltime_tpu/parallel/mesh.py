@@ -269,3 +269,40 @@ def make_sharded_update_step(model_cfg: ModelConfig,
         return f(tstate, rstate, beta)
 
     return jax.jit(wrapped, donate_argnums=(0, 1))
+
+
+def pool_process_stats(values, cap: int):
+    """Pool per-process scalar stats across ALL processes (a gloo/DCN
+    rendezvous — every process must call this at the same point).
+
+    Returns (pooled_values, global_sum, global_count):
+      pooled_values — the union multiset via a fixed-shape NaN-padded
+        process_allgather, truncated at `cap` entries PER PROCESS
+        (order-invariant statistics like mean/median are process-
+        count-invariant on it);
+      global_sum / global_count — EXACT totals carried alongside, so
+        means and episode counts stay unbiased even when a process
+        held more than `cap` values (advisor-class finding, r5: a
+        silent per-process cap would bias the best-checkpoint
+        decision toward early episodes).
+
+    Shared by fused.global_episode_stats (whose source is bounded by
+    its stat rings, so cap is exact there) and apex (unbounded
+    per-interval episode lists).
+    """
+    import numpy as np
+    vals = np.asarray(values, np.float32).reshape(-1)
+    if jax.process_count() == 1:
+        return ([float(v) for v in vals], float(vals.sum()),
+                int(vals.size))
+    from jax.experimental import multihost_utils
+    buf = np.full((cap,), np.nan, np.float32)
+    n = min(vals.size, cap)
+    buf[:n] = vals[:n]
+    meta = np.array([vals.sum(dtype=np.float64), vals.size],
+                    np.float64)
+    g = multihost_utils.process_allgather({"v": buf, "m": meta})
+    pooled = [float(x) for x in np.asarray(g["v"]).reshape(-1)
+              if not np.isnan(x)]
+    m = np.asarray(g["m"]).reshape(-1, 2)
+    return pooled, float(m[:, 0].sum()), int(m[:, 1].sum())

@@ -150,6 +150,34 @@ def maybe_record_best(result_dir: str, best_score: float,
     return mean_return
 
 
+def unmark_best_only(result_dir: str, step: int) -> None:
+    """An interval/final save at a step previously recorded as
+    best_only upgrades it to a protected checkpoint: clear the
+    best_only flag so a post-resume new best cannot GC it (the live
+    _protected_steps set shields it in-process, but resume-time
+    reconstruction excludes the best_only step — advisor-class
+    finding, r5)."""
+    b = best_step(result_dir)
+    if (b is not None and int(b["step"]) == int(step)
+            and b.get("best_only")):
+        record_best(result_dir, int(b["step"]), float(b["score"]),
+                    best_only=False)
+
+
+def derive_protected_steps(result_dir: str) -> set:
+    """Resume-time reconstruction of interval/final checkpoint steps:
+    every existing checkpoint dir except the one best.json marks
+    best_only (shared by the fused and apex trainers)."""
+    ckdir = os.path.join(result_dir, "checkpoints")
+    if not os.path.isdir(ckdir):
+        return set()
+    b = best_step(result_dir)
+    bo = (int(b["step"]) if b is not None and b.get("best_only")
+          else None)
+    return {int(x) for x in os.listdir(ckdir)
+            if x.isdigit() and int(x) != bo}
+
+
 def best_step(result_dir: str) -> Optional[Dict[str, Any]]:
     """{"step": int, "score": float} of the best checkpoint, or None."""
     import json

@@ -83,3 +83,26 @@ def test_resume_seeds_best_score(tmp_path):
     t2._maybe_save_best(rec["score"] - 1.0, 10)
     assert json.load(open(os.path.join(
         d, "checkpoints", "best.json"))) == rec
+
+
+def test_interval_save_at_best_step_clears_best_only(tmp_path):
+    """A best_only step later saved as an interval checkpoint must
+    survive post-resume GC: unmark_best_only clears the flag, and
+    derive_protected_steps then protects it (r5 review finding)."""
+    d = str(tmp_path / "run")
+    os.makedirs(os.path.join(d, "checkpoints", "500"))
+    ckpt_lib.record_best(d, 500, 7.0, best_only=True)
+    # resume-time reconstruction WITHOUT the fix would skip 500
+    assert ckpt_lib.derive_protected_steps(d) == set()
+    # ...the interval save at the same step upgrades it
+    ckpt_lib.unmark_best_only(d, 500)
+    rec = ckpt_lib.best_step(d)
+    assert rec["step"] == 500 and not rec["best_only"]
+    assert rec["score"] == 7.0
+    assert ckpt_lib.derive_protected_steps(d) == {500}
+    # unmark at a DIFFERENT step is a no-op
+    ckpt_lib.record_best(d, 600, 8.0, best_only=True)
+    os.makedirs(os.path.join(d, "checkpoints", "600"))
+    ckpt_lib.unmark_best_only(d, 700)
+    assert ckpt_lib.best_step(d)["best_only"]
+    assert ckpt_lib.derive_protected_steps(d) == {500}

@@ -54,6 +54,7 @@ VARIANTS = {
     "k2_b512": dict(batch=512, k=2),
     # bigger chunk/batch at the SAME 0.5 samples/insert ratio
     # (s32 pairs: the staged-chunk buffers double, so compare at S=32)
+    "k7_b1024": dict(k=7),   # update-dominated ceiling (3.5x ratio)
     "base_s32": dict(supersteps=32),
     "L64_b2048_s32": dict(supersteps=32, chunk_len=64, batch=2048),
     "e128_b2048_s32": dict(supersteps=32, num_envs=128, batch=2048),
